@@ -1,0 +1,194 @@
+"""Configuration schema for the TPU-native multi-view Mask R-CNN framework.
+
+Mirrors the subclass-and-override API of the reference Config
+(/root/reference/mrcnn/config.py:17-236) while fixing its latent trap of
+ad-hoc multi-view attributes added without base-class defaults
+(reference interior_multi.py:379-393): every multi-view key is a first-class,
+validated attribute here.
+
+All values that shape compiled programs (shapes, counts, modes) are static
+Python values; jitted functions close over them so XLA sees static shapes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_VALID_BACKBONES = ("resnet50", "resnet101")
+_VALID_FUSIONS = ("add", "mean", "ident", "conv3d", "lstm3d", "transformer")
+_VALID_RESIZE_MODES = ("none", "square", "pad64", "crop")
+
+
+class Config:
+    """Base configuration. Subclass and override, then instantiate.
+
+    Computed attributes (BATCH_SIZE, IMAGE_SHAPE, IMAGE_META_SIZE) are set in
+    __init__ as in the reference (config.py:213-228).
+    """
+
+    NAME = None
+
+    # Device / batch geometry. GPU_COUNT is kept for API parity with the
+    # reference (config.py:28); on TPU it means "number of data-parallel
+    # replicas" and feeds BATCH_SIZE the same way.
+    GPU_COUNT = 1
+    IMAGES_PER_GPU = 1
+
+    STEPS_PER_EPOCH = 1000
+    VALIDATION_STEPS = 50
+
+    # Backbone
+    BACKBONE = "resnet101"
+    BACKBONE_STRIDES = [4, 8, 16, 32, 64]
+    FPN_CLASSIF_FC_LAYERS_SIZE = 1024
+    TOP_DOWN_PYRAMID_SIZE = 256
+
+    NUM_CLASSES = 1  # incl. background; override
+
+    # Anchors
+    RPN_ANCHOR_SCALES = (32, 64, 128, 256, 512)
+    RPN_ANCHOR_RATIOS = [0.5, 1, 2]
+    RPN_ANCHOR_STRIDE = 1
+    RPN_NMS_THRESHOLD = 0.7
+    RPN_TRAIN_ANCHORS_PER_IMAGE = 256
+
+    PRE_NMS_LIMIT = 6000
+    POST_NMS_ROIS_TRAINING = 2000
+    POST_NMS_ROIS_INFERENCE = 1000
+
+    USE_MINI_MASK = True
+    MINI_MASK_SHAPE = (56, 56)
+
+    # Image molding (host side)
+    IMAGE_RESIZE_MODE = "square"
+    IMAGE_MIN_DIM = 800
+    IMAGE_MAX_DIM = 1024
+    IMAGE_MIN_SCALE = 0
+    IMAGE_CHANNEL_COUNT = 3
+    MEAN_PIXEL = np.array([123.7, 116.8, 103.9])
+
+    # ROI heads
+    TRAIN_ROIS_PER_IMAGE = 200
+    ROI_POSITIVE_RATIO = 0.33
+    POOL_SIZE = 7
+    MASK_POOL_SIZE = 14
+    MASK_SHAPE = [28, 28]
+    MAX_GT_INSTANCES = 100
+
+    RPN_BBOX_STD_DEV = np.array([0.1, 0.1, 0.2, 0.2])
+    BBOX_STD_DEV = np.array([0.1, 0.1, 0.2, 0.2])
+
+    DETECTION_MAX_INSTANCES = 100
+    DETECTION_MIN_CONFIDENCE = 0.7
+    DETECTION_NMS_THRESHOLD = 0.3
+
+    # Optimization
+    LEARNING_RATE = 0.001
+    LEARNING_MOMENTUM = 0.9
+    WEIGHT_DECAY = 0.0001
+    LOSS_WEIGHTS = {
+        "rpn_class_loss": 1.0,
+        "rpn_bbox_loss": 1.0,
+        "mrcnn_class_loss": 1.0,
+        "mrcnn_bbox_loss": 1.0,
+        "mrcnn_mask_loss": 1.0,
+    }
+    USE_RPN_ROIS = True
+    TRAIN_BN = False
+    GRADIENT_CLIP_NORM = 5.0
+
+    # ------------------------------------------------------------------
+    # Multi-view keys — first-class here, ad hoc in the reference
+    # (interior_multi.py:379-393, interior_transformer.py:386-407).
+    # ------------------------------------------------------------------
+    NUM_VIEWS = 1            # V; 1 == single-view Mask R-CNN
+    GRID_REAS = "conv3d"     # fusion mode: add|mean|ident|conv3d|lstm3d|transformer
+    VANILLA = False          # reference semantics are inverted (model_multi.py:2406-2422):
+                             # False -> projected multi-view path with PG2/PG3 zeroed,
+                             # True  -> bypass projection, use main-view features.
+    TRANSFORMER = False      # transformer view fusion on P5 (model_transformer.py:2419-2438)
+
+    # Voxel grid (model_multi.py:157-169)
+    nvox = 40                # grid cells in x and y
+    nvox_z = 40              # grid cells in z
+    vmin = -2.5              # x,y extent [vmin, vmax] in meters
+    vmax = 2.5
+    vmin_z = 1.0             # z (depth) extent
+    vmax_z = 10.0
+    samples = 20             # depth samples per ray in reprojection
+    GRID_DIST = 6.0          # camera-anchored grid distance (projection.py:86-97)
+
+    # Transformer fusion hyperparameters — hardcoded at the call site in the
+    # reference (model_transformer.py:361); configurable here.
+    XFORMER_NUM_LAYERS = 6
+    XFORMER_D_MODEL = 72
+    XFORMER_NUM_HEADS = 8
+    XFORMER_DFF = 256
+    XFORMER_TARGET_SIZE = 20   # tokens project to TARGET_SIZE^2 (=P5 grid)
+    XFORMER_DROPOUT = 0.1
+
+    # ------------------------------------------------------------------
+    # TPU-native knobs (no reference analog)
+    # ------------------------------------------------------------------
+    COMPUTE_DTYPE = "float32"   # "bfloat16" for MXU-friendly inference/training
+    CLIP_PROJECTION = False     # True: mask out-of-frustum voxels (the reference
+                                # has no OOB handling - a latent bug, see
+                                # model_multi.py:192-220); False keeps reference
+                                # semantics via index clamping.
+    TRILINEAR_REPROJECTION = False  # reference uses nearest (model_multi.py:357-369)
+    USE_PALLAS = True           # use Pallas kernels where available (TPU only)
+    MESH_DATA_AXIS = "data"     # device mesh axis names
+    MESH_VIEW_AXIS = "view"
+    VIEW_SHARDING = False       # shard the view axis across MESH_VIEW_AXIS
+
+    def __init__(self):
+        self.BATCH_SIZE = self.IMAGES_PER_GPU * self.GPU_COUNT
+        if self.IMAGE_RESIZE_MODE == "crop":
+            self.IMAGE_SHAPE = np.array(
+                [self.IMAGE_MIN_DIM, self.IMAGE_MIN_DIM, self.IMAGE_CHANNEL_COUNT])
+        else:
+            self.IMAGE_SHAPE = np.array(
+                [self.IMAGE_MAX_DIM, self.IMAGE_MAX_DIM, self.IMAGE_CHANNEL_COUNT])
+        # image meta: id(1) + original_shape(3) + image_shape(3) + window(4)
+        # + scale(1) + active class ids(NUM_CLASSES)
+        self.IMAGE_META_SIZE = 1 + 3 + 3 + 4 + 1 + self.NUM_CLASSES
+        # voxel sizes (reference computes these in the CLI config,
+        # interior_multi.py:388-389)
+        self.vsize = float(self.vmax - self.vmin) / self.nvox
+        self.vsize_z = float(self.vmax_z - self.vmin_z) / self.nvox_z
+        self.validate()
+
+    # Identity hash/eq so a Config can be carried as static metadata on Flax
+    # modules (numpy-array attributes make value-equality ill-defined).
+    __hash__ = object.__hash__
+    __eq__ = object.__eq__
+
+    def validate(self):
+        assert self.BACKBONE in _VALID_BACKBONES or callable(self.BACKBONE), \
+            f"BACKBONE must be one of {_VALID_BACKBONES}"
+        assert self.GRID_REAS in _VALID_FUSIONS, \
+            f"GRID_REAS must be one of {_VALID_FUSIONS}"
+        assert self.IMAGE_RESIZE_MODE in _VALID_RESIZE_MODES
+        assert self.NUM_VIEWS >= 1
+        assert self.NUM_CLASSES >= 1
+        assert self.vmax > self.vmin and self.vmax_z > self.vmin_z
+        assert self.nvox >= 1 and self.nvox_z >= 1 and self.samples >= 1
+        assert self.ROI_POSITIVE_RATIO > 0
+        if self.IMAGE_RESIZE_MODE in ("square",):
+            # FPN needs /64 divisibility (model_multi.py:2327-2332)
+            assert self.IMAGE_MAX_DIM % 64 == 0, \
+                "IMAGE_MAX_DIM must be a multiple of 64"
+
+    def to_dict(self):
+        return {
+            a: getattr(self, a)
+            for a in dir(self)
+            if not a.startswith("__") and not callable(getattr(self, a))
+        }
+
+    def display(self):
+        """Display configuration values (reference config.py:230-236)."""
+        print("\nConfigurations:")
+        for k, v in self.to_dict().items():
+            print("{:30} {}".format(k, v))
+        print("\n")
