@@ -1,0 +1,221 @@
+"""Host-side input pipeline: GT loading and multi-view batch assembly.
+
+Replaces the reference's single-threaded Python `data_generator`
+(model_multi.py:2065-2293, fit_generator workers=1 — a known input-bound
+regime, SURVEY.md §3.2) with:
+
+  * `load_image_gt` — image + GT molding for one image
+    (model_multi.py:1621-1721 semantics);
+  * `make_batch` — one fixed-shape multi-view batch as a dict of numpy
+    arrays keyed exactly like models.detector.MaskRCNN inputs (GT boxes
+    normalized, masks instance-major [G, mh, mw], everything zero-padded to
+    static shapes);
+  * `BatchPrefetcher` — a thread-pool prefetch queue keeping the TPU fed.
+
+Error tolerance matches the reference (skip bad images, raise after 5
+consecutive failures, model_multi.py:2284-2293).
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+
+import numpy as np
+
+from ..ops.anchors import (compute_backbone_shapes, generate_pyramid_anchors)
+from ..ops.boxes import extract_bboxes_np, norm_boxes_np
+from ..ops.image_meta import compose_image_meta
+from ..ops.targets import build_rpn_targets
+from .molding import minimize_mask, mold_image, resize_image, resize_mask
+
+log = logging.getLogger(__name__)
+
+
+def load_image_gt(dataset, config, image_id, use_mini_mask=False):
+    """Returns (image, image_meta, class_ids, bbox, mask[H,W,N])."""
+    image = dataset.load_image(image_id)
+    mask, class_ids = dataset.load_mask(image_id)
+    original_shape = image.shape
+    image, window, scale, padding, crop = resize_image(
+        image,
+        min_dim=config.IMAGE_MIN_DIM,
+        min_scale=config.IMAGE_MIN_SCALE,
+        max_dim=config.IMAGE_MAX_DIM,
+        mode=config.IMAGE_RESIZE_MODE)
+    if mask.shape[-1] > 0:
+        mask = resize_mask(mask, scale, padding, crop)
+    else:
+        mask = np.zeros(image.shape[:2] + (0,), dtype=bool)
+
+    # drop instances whose mask was cropped away
+    _idx = np.sum(mask, axis=(0, 1)) > 0
+    mask = mask[:, :, _idx]
+    class_ids = class_ids[_idx]
+    bbox = extract_bboxes_np(mask)
+
+    active_class_ids = np.zeros([dataset.num_classes], dtype=np.int32)
+    source_class_ids = dataset.source_class_ids[
+        dataset.image_info[image_id]["source"]]
+    active_class_ids[source_class_ids] = 1
+
+    if use_mini_mask and mask.shape[-1] > 0:
+        mask = minimize_mask(bbox, mask, config.MINI_MASK_SHAPE)
+
+    image_meta = compose_image_meta(image_id, original_shape, image.shape,
+                                    window, scale, active_class_ids)
+    return image, image_meta, class_ids, bbox, mask
+
+
+def pixel_anchors(config, image_shape):
+    backbone_shapes = compute_backbone_shapes(config, image_shape)
+    return generate_pyramid_anchors(
+        config.RPN_ANCHOR_SCALES, config.RPN_ANCHOR_RATIOS, backbone_shapes,
+        config.BACKBONE_STRIDES, config.RPN_ANCHOR_STRIDE)
+
+
+def _pad_to(arr, n, axis=0):
+    pad = [(0, 0)] * arr.ndim
+    pad[axis] = (0, max(0, n - arr.shape[axis]))
+    sl = [slice(None)] * arr.ndim
+    sl[axis] = slice(0, n)
+    return np.pad(arr, pad)[tuple(sl)]
+
+
+def make_sample(dataset, config, view_ids, rnd_state=None,
+                with_depth=False):
+    """Assemble one multi-view training sample. view_ids[0] is the main view
+    (GT comes from it only, model_multi.py:2150-2153)."""
+    cfg = config
+    v = len(view_ids)
+    hw = int(cfg.IMAGE_SHAPE[0])
+    main_id = view_ids[0]
+
+    image, image_meta, gt_class_ids, gt_boxes_px, gt_masks = load_image_gt(
+        dataset, cfg, main_id, use_mini_mask=cfg.USE_MINI_MASK)
+
+    images = np.zeros((v, hw, hw, 3), np.float32)
+    R = np.zeros((v, 3, 4), np.float32)
+    depths = (np.zeros((v, 20, 20), np.float32) if with_depth else None)
+    images[0] = mold_image(image, cfg.MEAN_PIXEL)
+    R[0] = dataset.load_R(main_id)
+    if with_depth:
+        depths[0] = dataset.load_depth(main_id, cfg)
+    for i, vid in enumerate(view_ids[1:], start=1):
+        im = dataset.load_image(vid)
+        im, _, _, _, _ = resize_image(
+            im, min_dim=cfg.IMAGE_MIN_DIM, min_scale=cfg.IMAGE_MIN_SCALE,
+            max_dim=cfg.IMAGE_MAX_DIM, mode=cfg.IMAGE_RESIZE_MODE)
+        images[i] = mold_image(im, cfg.MEAN_PIXEL)
+        R[i] = dataset.load_R(vid)
+        if with_depth:
+            depths[i] = dataset.load_depth(vid, cfg)
+
+    # RPN targets (host-side numpy, model_multi.py:2191-2192)
+    anchors = pixel_anchors(cfg, cfg.IMAGE_SHAPE)
+    rpn_match, rpn_bbox = build_rpn_targets(
+        anchors, gt_class_ids, gt_boxes_px.astype(np.float32), cfg,
+        rnd_state=np.random.RandomState(rnd_state)
+        if rnd_state is not None else None)
+
+    g = cfg.MAX_GT_INSTANCES
+    n_inst = min(gt_class_ids.shape[0], g)
+    gt_boxes_n = norm_boxes_np(gt_boxes_px.astype(np.float32), (hw, hw))
+    mh, mw = (cfg.MINI_MASK_SHAPE if cfg.USE_MINI_MASK else (hw, hw))
+    masks_gm = np.zeros((g, mh, mw), np.float32)
+    if n_inst:
+        # [H, W, N] -> instance-major [N, h, w]
+        masks_gm[:n_inst] = np.transpose(
+            gt_masks[:, :, :n_inst], (2, 0, 1)).astype(np.float32)
+
+    sample = {
+        "images": images,
+        "image_meta": image_meta,
+        "rpn_match": rpn_match.astype(np.int32),
+        "rpn_bbox": rpn_bbox.astype(np.float32),
+        "gt_class_ids": _pad_to(gt_class_ids.astype(np.int32), g),
+        "gt_boxes": _pad_to(gt_boxes_n[:n_inst], g),
+        "gt_masks": masks_gm,
+        "Rcam": R,
+        "Kmat": getattr(dataset, "K", np.eye(3)).astype(np.float32),
+    }
+    if with_depth:
+        sample["depths"] = depths
+    return sample
+
+
+def make_batch(dataset, config, rnd_state=None, with_depth=False,
+               keys=None):
+    """One batch of BATCH_SIZE multi-view samples + normalized anchors."""
+    from ..ops.anchors import get_anchors
+
+    cfg = config
+    rnd = np.random.RandomState(rnd_state)
+    keys = keys if keys is not None else list(dataset.view_map.keys())
+    samples = []
+    errors = 0
+    while len(samples) < cfg.BATCH_SIZE:
+        try:
+            key = keys[rnd.randint(len(keys))]
+            view_ids = dataset.load_view(cfg.NUM_VIEWS, key,
+                                         rnd_state=rnd.randint(2 ** 31))
+            if view_ids is None:
+                continue
+            samples.append(make_sample(dataset, cfg, view_ids,
+                                       rnd_state=rnd.randint(2 ** 31),
+                                       with_depth=with_depth))
+            errors = 0
+        except Exception:  # noqa: BLE001 — reference behavior
+            errors += 1
+            log.exception("error building sample")
+            if errors > 5:
+                raise
+    batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    batch["anchors"] = get_anchors(cfg, cfg.IMAGE_SHAPE).astype(np.float32)
+    return batch
+
+
+class BatchPrefetcher:
+    """Thread-pool batch prefetcher — keeps the device fed
+    (the TPU-native answer to fit_generator workers=1)."""
+
+    def __init__(self, make_fn, num_threads=4, prefetch=8, seed=0):
+        self._queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._seed = seed
+        self._seed_lock = threading.Lock()
+        self._make_fn = make_fn
+        self._threads = [
+            threading.Thread(target=self._worker, daemon=True)
+            for _ in range(num_threads)]
+        for t in self._threads:
+            t.start()
+
+    def _next_seed(self):
+        with self._seed_lock:
+            self._seed += 1
+            return self._seed
+
+    def _worker(self):
+        while not self._stop.is_set():
+            try:
+                batch = self._make_fn(self._next_seed())
+            except Exception:  # pragma: no cover
+                log.exception("prefetch worker failed")
+                continue
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self._queue.get()
+
+    def close(self):
+        self._stop.set()

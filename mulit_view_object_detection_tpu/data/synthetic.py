@@ -1,0 +1,148 @@
+"""Synthetic multi-view scenes for tests and benchmarks.
+
+The reference has no test assets (SURVEY.md §4); this module provides
+fixed-seed procedurally generated scenes: colored 3D billboards at known
+positions, rendered into V views with known camera poses/intrinsics via
+true pinhole projection — so the projective geometry ops see real,
+consistent multi-view data and end-to-end smoke training has learnable
+signal.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils.pose import look_at_extrinsics
+from .dataset import Dataset
+
+_COLORS = np.array([
+    [200, 60, 60], [60, 200, 60], [60, 60, 200], [200, 200, 60],
+    [200, 60, 200], [60, 200, 200],
+], dtype=np.uint8)
+
+
+class SyntheticScene:
+    """A set of 3D billboards + V cameras around the origin-ish."""
+
+    def __init__(self, rng, num_objects=3, num_views=2, image_size=64,
+                 num_classes=4, focal=None):
+        self.image_size = image_size
+        self.num_classes = num_classes
+        f = focal or image_size
+        c = image_size / 2.0
+        self.K = np.array([[f, 0, c], [0, f, c], [0, 0, 1]], np.float64)
+        # objects in the MAIN camera's viewing volume: x,y in [-1,1], z in [3,6]
+        self.centers = np.stack([
+            rng.uniform(-1.0, 1.0, num_objects),
+            rng.uniform(-1.0, 1.0, num_objects),
+            rng.uniform(3.0, 6.0, num_objects)], axis=1)
+        self.half_sizes = rng.uniform(0.3, 0.6, num_objects)
+        self.class_ids = rng.randint(1, num_classes, num_objects)
+        self.colors = _COLORS[rng.randint(0, len(_COLORS), num_objects)]
+
+        # cameras: view 0 at origin looking +z; others jittered around it
+        self.poses = []  # cam->world [3, 4]
+        for vi in range(num_views):
+            if vi == 0:
+                eye = np.zeros(3)
+            else:
+                eye = rng.uniform(-0.6, 0.6, 3) * np.array([1, 1, 0.3])
+            w2c = look_at_extrinsics(eye, np.array([0.0, 0.0, 4.5]))
+            R = w2c[:, :3]
+            t = w2c[:, 3]
+            # invert world->cam to cam->world
+            pose = np.concatenate([R.T, (-R.T @ t)[:, None]], axis=1)
+            self.poses.append(pose)
+        self.poses = np.stack(self.poses)  # [V, 3, 4]
+
+    def render(self, view):
+        """Render view -> (image uint8 [S,S,3], masks [S,S,N], depth [S,S])."""
+        s = self.image_size
+        image = np.full((s, s, 3), 30, np.uint8)
+        masks = np.zeros((s, s, len(self.centers)), bool)
+        depth = np.full((s, s), 50.0, np.float32)
+        pose = self.poses[view]
+        R, t = pose[:, :3], pose[:, 3]
+        # world->cam
+        Rw, tw = R.T, -R.T @ t
+        order = np.argsort(-self.centers[:, 2])  # far to near
+        for oi in order:
+            cpos = Rw @ self.centers[oi] + tw
+            if cpos[2] <= 0.1:
+                continue
+            r = self.half_sizes[oi]
+            # billboard corners facing the camera
+            u0 = self.K @ (cpos + np.array([-r, -r, 0.0]))
+            u1 = self.K @ (cpos + np.array([r, r, 0.0]))
+            x0, y0 = int(round(u0[0] / u0[2])), int(round(u0[1] / u0[2]))
+            x1, y1 = int(round(u1[0] / u1[2])), int(round(u1[1] / u1[2]))
+            x0, x1 = sorted((x0, x1))
+            y0, y1 = sorted((y0, y1))
+            x0c, x1c = max(0, x0), min(s, x1)
+            y0c, y1c = max(0, y0), min(s, y1)
+            if x1c <= x0c or y1c <= y0c:
+                continue
+            image[y0c:y1c, x0c:x1c] = self.colors[oi]
+            masks[:, :, oi] = False
+            masks[y0c:y1c, x0c:x1c, oi] = True
+            depth[y0c:y1c, x0c:x1c] = cpos[2]
+        return image, masks, depth
+
+
+class SyntheticMultiViewDataset(Dataset):
+    """Dataset-API wrapper over SyntheticScene (supports load_R/load_depth/
+    load_view/view_map like InteriorNetDataset)."""
+
+    def __init__(self, num_scenes=4, num_views=3, image_size=64,
+                 num_classes=4, seed=0):
+        super().__init__()
+        self.scenes = []
+        self.K = None
+        rng = np.random.RandomState(seed)
+        for i in range(1, num_classes):
+            self.add_class("synthetic", i, f"class{i}")
+        self.view_map = {}
+        for si in range(num_scenes):
+            scene = SyntheticScene(rng, num_objects=3, num_views=num_views,
+                                   image_size=image_size,
+                                   num_classes=num_classes)
+            self.K = scene.K
+            self.scenes.append(scene)
+            ids = []
+            for vi in range(num_views):
+                uid = f"s{si}_v{vi}"
+                self.add_image("synthetic", image_id=uid, path=uid,
+                               scene=si, view=vi)
+                ids.append(uid)
+            self.view_map[ids[0]] = ids[1:]
+        self.prepare()
+
+    def _scene_view(self, image_id):
+        info = self.image_info[image_id]
+        return self.scenes[info["scene"]], info["view"]
+
+    def load_image(self, image_id):
+        scene, view = self._scene_view(image_id)
+        return scene.render(view)[0]
+
+    def load_mask(self, image_id):
+        scene, view = self._scene_view(image_id)
+        _, masks, _ = scene.render(view)
+        keep = masks.any(axis=(0, 1))
+        return masks[:, :, keep], scene.class_ids[keep].astype(np.int32)
+
+    def load_depth(self, image_id, config):
+        from .molding import resize_image
+        scene, view = self._scene_view(image_id)
+        depth = scene.render(view)[2][:, :, None]
+        depth, *_ = resize_image(depth, min_dim=20, max_dim=20,
+                                 mode="square")
+        return depth[:, :, 0]
+
+    def load_R(self, image_id):
+        scene, view = self._scene_view(image_id)
+        return scene.poses[view].astype(np.float32)
+
+    def load_view(self, n, main_image, rnd_state=None):
+        ids = [main_image] + list(self.view_map[main_image])[:n - 1]
+        return [self.image_from_source_map["synthetic." + i] for i in ids]

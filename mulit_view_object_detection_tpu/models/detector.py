@@ -1,0 +1,320 @@
+"""Multi-view Mask R-CNN — the single model core.
+
+The reference maintains three ~85%-identical model files (model.py,
+model_multi.py, model_transformer.py — SURVEY.md §1); here ONE module
+implements all variants, switched by config:
+
+  NUM_VIEWS == 1        -> stock single-view Mask R-CNN (model.py graph)
+  TRANSFORMER           -> P5-only transformer view fusion, other levels
+                           zeroed (model_transformer.py:2419-2438)
+  VANILLA               -> multi-view inputs, but the main view's features
+                           are used directly with P2/P3 zeroed
+                           (model_multi.py:2413-2422; the reference's P3
+                           zero-shape bug is NOT reproduced)
+  otherwise             -> projected path: per-level unproject -> fuse ->
+                           reproject -> depth-collapse; PG2/PG3 zeroed
+                           (the reference's memory cap, model_multi.py:
+                           2406-2412) — and, unlike TF which builds-then-
+                           prunes, we never compute the zeroed levels.
+
+TPU-native details:
+  * views fold into the batch axis for backbone/FPN (vs TimeDistributed);
+  * RPN on zeroed levels is constant-folded: conv stacks on an all-zero
+    input are spatially constant (= function of biases), so we evaluate the
+    RPN on a 1x1 zero tile and broadcast — exact numerics, skips the two
+    largest levels' RPN convs entirely;
+  * proposals/NMS/ROI-align/targets are the static-shape ops from ops/;
+  * everything jit-compatible with static shapes throughout.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.boxes import norm_boxes
+from ..ops.detection import refine_detections
+from ..ops.image_meta import parse_image_meta
+from ..ops.projection import (project_grid, unproject_features,
+                              unproject_rays, voxel_grid_points)
+from ..ops.proposals import generate_proposals
+from ..ops.roi_align import pyramid_roi_align
+from ..ops.targets import detection_targets_batch
+from .fpn import FPN
+from .fusion import DepthCollapse, GridFusion
+from .heads import ClassifierHead, MaskHead
+from .resnet import ResNet
+from .rpn import RPNHead
+from .transformer import ViewFusionTransformer
+
+
+class MaskRCNN(nn.Module):
+    config: Any
+
+    def _dtype(self):
+        return (jnp.bfloat16 if self.config.COMPUTE_DTYPE == "bfloat16"
+                else jnp.float32)
+
+    @nn.compact
+    def __call__(self, batch, training=False):
+        """batch keys:
+          images  [B, V, H, W, 3] molded float32
+          image_meta [B, META_SIZE]
+          anchors [A, 4] normalized
+          Rcam    [B, V, 3, 4] cam->world poses   (multi-view only)
+          Kmat    [B, 3, 3]                       (multi-view only)
+          depths  [B, V, dh, dw]                  (transformer only)
+          gt_class_ids [B, G], gt_boxes [B, G, 4] normalized,
+          gt_masks [B, G, mh, mw]                 (training only)
+        """
+        cfg = self.config
+        dtype = self._dtype()
+        images = batch["images"]
+        b, v, h, w, _ = images.shape
+        train_bn = bool(cfg.TRAIN_BN) and training
+        multiview = v > 1 or cfg.NUM_VIEWS > 1
+
+        # ------------------------------------------------------------------
+        # Backbone + FPN (views folded into batch)
+        # ------------------------------------------------------------------
+        x = images.reshape(b * v, h, w, images.shape[-1]).astype(dtype)
+        stage4_blocks = getattr(cfg, "RESNET50_STAGE4_BLOCKS", None)
+        _, c2, c3, c4, c5 = ResNet(
+            cfg.BACKBONE, stage5=True, train_bn=train_bn,
+            stage4_blocks=stage4_blocks, dtype=dtype, name="backbone")(x)
+        p2, p3, p4, p5, p6 = FPN(
+            cfg.TOP_DOWN_PYRAMID_SIZE, post_relu=multiview, dtype=dtype,
+            name="fpn")(c2, c3, c4, c5)
+        levels = [p2, p3, p4, p5, p6]
+        strides = cfg.BACKBONE_STRIDES + [cfg.BACKBONE_STRIDES[-1] * 2]
+        strides = strides[:5]
+        if multiview:
+            levels = [p.reshape((b, v) + p.shape[1:]) for p in levels]
+        else:
+            levels = [p[:, None] for p in levels]  # [B, 1, h, w, C]
+
+        # ------------------------------------------------------------------
+        # View fusion -> per-level feature maps + which levels are zero
+        # ------------------------------------------------------------------
+        fmaps, zero_levels = self._fuse_views(batch, levels, (h, w),
+                                              training, dtype)
+
+        rpn_feature_maps = fmaps                  # P2..P6
+        mrcnn_feature_maps = fmaps[:4]            # P2..P5
+
+        # ------------------------------------------------------------------
+        # RPN (shared head; zero levels constant-folded)
+        # ------------------------------------------------------------------
+        rpn = RPNHead(len(cfg.RPN_ANCHOR_RATIOS), cfg.RPN_ANCHOR_STRIDE,
+                      dtype=dtype, name="rpn")
+        k = len(cfg.RPN_ANCHOR_RATIOS)
+        logits_l, probs_l, deltas_l = [], [], []
+        for li, fmap in enumerate(rpn_feature_maps):
+            if li in zero_levels:
+                lh, lw = fmap.shape[1], fmap.shape[2]
+                tile = jnp.zeros((b, 1, 1, fmap.shape[-1]), dtype)
+                lg, pr, dl = rpn(tile)            # [B, k, ...] constants
+                reps = lh * lw
+                lg = jnp.tile(lg, (1, reps, 1))
+                pr = jnp.tile(pr, (1, reps, 1))
+                dl = jnp.tile(dl, (1, reps, 1))
+            else:
+                lg, pr, dl = rpn(fmap)
+            logits_l.append(lg)
+            probs_l.append(pr)
+            deltas_l.append(dl)
+        rpn_class_logits = jnp.concatenate(logits_l, axis=1)
+        rpn_probs = jnp.concatenate(probs_l, axis=1)
+        rpn_bbox = jnp.concatenate(deltas_l, axis=1)
+
+        # ------------------------------------------------------------------
+        # Proposals (gradients stopped, model.py:409-410)
+        # ------------------------------------------------------------------
+        proposal_count = (cfg.POST_NMS_ROIS_TRAINING if training
+                          else cfg.POST_NMS_ROIS_INFERENCE)
+        proposals = generate_proposals(
+            jax.lax.stop_gradient(rpn_probs),
+            jax.lax.stop_gradient(rpn_bbox),
+            batch["anchors"],
+            proposal_count=proposal_count,
+            nms_threshold=cfg.RPN_NMS_THRESHOLD,
+            pre_nms_limit=cfg.PRE_NMS_LIMIT,
+            bbox_std_dev=np.asarray(cfg.RPN_BBOX_STD_DEV))
+
+        classifier = ClassifierHead(
+            cfg.NUM_CLASSES, cfg.POOL_SIZE, cfg.FPN_CLASSIF_FC_LAYERS_SIZE,
+            train_bn, dtype, name="classifier_head")
+        mask_filters = 128 if multiview else 256  # model_multi.py:1412-1438
+        mask_head = MaskHead(cfg.NUM_CLASSES, mask_filters, train_bn, dtype,
+                             name="mask_head")
+
+        outputs = {
+            "rpn_class_logits": rpn_class_logits,
+            "rpn_probs": rpn_probs,
+            "rpn_bbox": rpn_bbox,
+            "proposals": proposals,
+        }
+
+        if training:
+            rng = self.make_rng("sampling")
+            rois, tcls, tdeltas, tmasks = detection_targets_batch(
+                rng, proposals, batch["gt_class_ids"], batch["gt_boxes"],
+                batch["gt_masks"],
+                train_rois_per_image=cfg.TRAIN_ROIS_PER_IMAGE,
+                roi_positive_ratio=cfg.ROI_POSITIVE_RATIO,
+                mask_shape=tuple(cfg.MASK_SHAPE),
+                use_mini_mask=cfg.USE_MINI_MASK,
+                bbox_std_dev=np.asarray(cfg.BBOX_STD_DEV))
+            pooled = pyramid_roi_align(rois, mrcnn_feature_maps, (h, w),
+                                       cfg.POOL_SIZE)
+            logits, probs, bbox = classifier(pooled)
+            pooled_m = pyramid_roi_align(rois, mrcnn_feature_maps, (h, w),
+                                         cfg.MASK_POOL_SIZE)
+            pred_masks = mask_head(pooled_m)
+            outputs.update({
+                "rois": rois,
+                "target_class_ids": tcls,
+                "target_deltas": tdeltas,
+                "target_masks": tmasks,
+                "mrcnn_class_logits": logits,
+                "mrcnn_probs": probs,
+                "mrcnn_bbox": bbox,
+                "mrcnn_masks": pred_masks,
+            })
+            return outputs
+
+        # Inference
+        pooled = pyramid_roi_align(proposals, mrcnn_feature_maps, (h, w),
+                                   cfg.POOL_SIZE)
+        logits, probs, bbox = classifier(pooled)
+        meta = parse_image_meta(batch["image_meta"])
+        windows = norm_boxes(meta["window"], (h, w))  # [B, 4]
+        detections = refine_detections(
+            proposals, probs, bbox, windows,
+            bbox_std_dev=np.asarray(cfg.BBOX_STD_DEV),
+            detection_min_confidence=cfg.DETECTION_MIN_CONFIDENCE,
+            detection_max_instances=cfg.DETECTION_MAX_INSTANCES,
+            detection_nms_threshold=cfg.DETECTION_NMS_THRESHOLD)
+        det_boxes = detections[..., :4]
+        pooled_m = pyramid_roi_align(det_boxes, mrcnn_feature_maps, (h, w),
+                                     cfg.MASK_POOL_SIZE)
+        pred_masks = mask_head(pooled_m)
+        outputs.update({
+            "mrcnn_class_logits": logits,
+            "mrcnn_probs": probs,
+            "mrcnn_bbox": bbox,
+            "detections": detections,
+            "mrcnn_masks": pred_masks,
+        })
+        return outputs
+
+    # ----------------------------------------------------------------------
+    # View fusion dispatch
+    # ----------------------------------------------------------------------
+    def _fuse_views(self, batch, levels, image_shape, training, dtype):
+        """levels: list of 5 [B, V, h, w, C]. Returns ([P2..P6] as
+        [B, h, w, C], zero_level_indices)."""
+        cfg = self.config
+        v = levels[0].shape[1]
+
+        if v == 1 and not cfg.TRANSFORMER:
+            return [p[:, 0] for p in levels], set()
+
+        if cfg.TRANSFORMER:
+            p5 = levels[3]                        # [B, V, 20H, 20W, C]
+            positions, tokens = unproject_rays(
+                p5.astype(jnp.float32), batch["Rcam"], batch["Kmat"],
+                batch["depths"], image_shape, samples=cfg.samples)
+            fused = ViewFusionTransformer(
+                cfg.XFORMER_NUM_LAYERS, cfg.XFORMER_D_MODEL,
+                cfg.XFORMER_NUM_HEADS, cfg.XFORMER_DFF,
+                p5.shape[2], cfg.XFORMER_DROPOUT, dtype,
+                name="view_transformer")(
+                    tokens.astype(dtype), positions,
+                    deterministic=not training)
+            out, zeros = [], set()
+            for li, p in enumerate(levels):
+                main = p[:, 0]
+                if li == 3:
+                    out.append(main + fused.astype(main.dtype))
+                else:
+                    out.append(jnp.zeros_like(main))
+                    zeros.add(li)
+            return out, zeros
+
+        if cfg.VANILLA:
+            out, zeros = [], set()
+            for li, p in enumerate(levels):
+                main = p[:, 0]
+                if li in (0, 1):                  # P2, P3 zeroed
+                    out.append(jnp.zeros_like(main))
+                    zeros.add(li)
+                else:
+                    out.append(main)
+            return out, zeros
+
+        # Projected multi-view path: levels P4, P5, P6 carry signal
+        grid_pts = jnp.asarray(voxel_grid_points(cfg))
+        grid_shape = (cfg.nvox, cfg.nvox, cfg.nvox_z)
+        fusion = GridFusion(cfg.GRID_REAS, cfg.TOP_DOWN_PYRAMID_SIZE, v,
+                            bool(cfg.TRAIN_BN) and training, dtype,
+                            name="grid_fusion")
+        collapse = DepthCollapse(cfg.GRID_REAS, cfg.TOP_DOWN_PYRAMID_SIZE,
+                                 cfg.samples,
+                                 bool(cfg.TRAIN_BN) and training, dtype,
+                                 name="depth_collapse")
+        method = ("trilinear" if getattr(cfg, "TRILINEAR_REPROJECTION", False)
+                  else "nearest")
+        out, zeros = [], set()
+        for li, p in enumerate(levels):
+            if li in (0, 1):                      # PG2/PG3 memory cap
+                out.append(jnp.zeros_like(p[:, 0]))
+                zeros.add(li)
+                continue
+            vox = unproject_features(p, batch["Rcam"], batch["Kmat"],
+                                     image_shape, grid_pts, grid_shape)
+            fused = fusion(vox)
+            s = p.shape[2]                        # square feature maps
+            rays = project_grid(fused.astype(jnp.float32),
+                                batch["Kmat"], image_shape, s, cfg.samples,
+                                cfg, method=method)
+            out.append(collapse(rays.astype(dtype)))
+        return out, zeros
+
+
+def make_dummy_batch(config, training=False, batch_size=None, num_views=None,
+                     image_size=None):
+    """Zero-filled inputs with the right static shapes — for module.init,
+    shape checks and compile smoke tests."""
+    from ..ops.anchors import get_anchors
+
+    cfg = config
+    b = batch_size or cfg.BATCH_SIZE
+    v = num_views or cfg.NUM_VIEWS
+    hw = image_size or int(cfg.IMAGE_SHAPE[0])
+    anchors = get_anchors(cfg, [hw, hw, 3])
+    batch = {
+        "images": np.zeros((b, v, hw, hw, 3), np.float32),
+        "image_meta": np.zeros((b, cfg.IMAGE_META_SIZE), np.float32),
+        "anchors": anchors.astype(np.float32),
+        "Rcam": np.tile(np.eye(3, 4, dtype=np.float32), (b, v, 1, 1)),
+        "Kmat": np.tile(np.array([[hw, 0, hw / 2], [0, hw, hw / 2],
+                                  [0, 0, 1]], np.float32), (b, 1, 1)),
+    }
+    batch["image_meta"][:, 4:7] = [hw, hw, 3]
+    batch["image_meta"][:, 7:11] = [0, 0, hw, hw]
+    if cfg.TRANSFORMER:
+        s5 = hw // cfg.BACKBONE_STRIDES[3]
+        batch["depths"] = np.full((b, v, s5, s5), 2.0, np.float32)
+    if training:
+        g = cfg.MAX_GT_INSTANCES
+        mh, mw = (cfg.MINI_MASK_SHAPE if cfg.USE_MINI_MASK
+                  else (hw, hw))
+        batch["gt_class_ids"] = np.zeros((b, g), np.int32)
+        batch["gt_boxes"] = np.zeros((b, g, 4), np.float32)
+        batch["gt_masks"] = np.zeros((b, g, mh, mw), np.float32)
+    return batch

@@ -1,0 +1,175 @@
+"""Cross-view voxel-grid fusion + depth-sample collapse (Flax linen).
+
+Fusion modes match `grid_reas` (model_multi.py:394-463):
+  'add'    : sum over the view axis + BN + relu
+  'mean'   : mean over views (Notebook/projection.py:526-529 variant)
+  'ident'  : concat views on channels -> relu -> 1x1x1 Conv3D -> BN -> relu
+  'conv3d' : MLF U-Net — concat views, relu, 2x strided Conv3D (2C, 4C) down,
+             2x Conv3DTranspose up with skip concat [deconv1, conv1]
+  'lstm3d' : 3D ConvLSTM scanned over the view axis (recurrent.py:378-478):
+             single fused 4-gate conv over [x, h], gate order
+             (j, i, f, o), forget_bias=1, tanh activation — via lax.scan
+             instead of K.rnn.
+
+One module instance is applied to every FPN level by the caller, which in
+linen shares the weights across levels — the reference does the same via its
+module-global `reused_lay` dict (model_multi.py:45, 415-439).
+
+`DepthCollapse` squeezes the reprojected ray-sample axis to a 2D map
+(depth_sampling, model_multi.py:466-488).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .resnet import BatchNorm
+
+
+class ConvLSTMCell3D(nn.Module):
+    """One fused-gate ConvLSTM step (recurrent.py:443-478 semantics)."""
+    filters: int
+    kernel: tuple = (3, 3, 3)
+    forget_bias: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, x):
+        memory, output = carry
+        y = nn.Conv(4 * self.filters, self.kernel, padding="SAME",
+                    name="lstm_gates", dtype=self.dtype)(
+                        jnp.concatenate([x, output], axis=-1))
+        j, i, f, o = jnp.split(y, 4, axis=-1)
+        memory = (memory * jax.nn.sigmoid(f + self.forget_bias)
+                  + jax.nn.sigmoid(i) * jnp.tanh(j))
+        output = jnp.tanh(memory) * jax.nn.sigmoid(o)
+        return (memory, output), output
+
+
+class ConvLSTM3D(nn.Module):
+    """ConvLSTM scanned over the view axis; returns the last hidden state
+    (the reference's ConvRNN3D with return_sequences=False,
+    recurrent.py:28-371)."""
+    filters: int
+    kernel: tuple = (3, 3, 3)
+    forget_bias: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs):
+        """xs: [B, V, X, Y, Z, C] -> [B, X, Y, Z, filters]."""
+        b, v, nx, ny, nz, c = xs.shape
+        ScanCell = nn.scan(ConvLSTMCell3D,
+                           variable_broadcast="params",
+                           split_rngs={"params": False},
+                           in_axes=1, out_axes=1)
+        init = (jnp.zeros((b, nx, ny, nz, self.filters), xs.dtype),
+                jnp.zeros((b, nx, ny, nz, self.filters), xs.dtype))
+        (memory, output), _ = ScanCell(
+            self.filters, self.kernel, self.forget_bias, self.dtype,
+            name="cell")(init, xs)
+        return output
+
+
+class GridFusion(nn.Module):
+    mode: str            # add | mean | ident | conv3d | lstm3d
+    channels: int        # TOP_DOWN_PYRAMID_SIZE
+    num_views: int
+    train_bn: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, grids):
+        """grids: [B, V, X, Y, Z, C] -> fused [B, X, Y, Z, C]."""
+        x = grids
+        if self.mode == "add":
+            x = jnp.sum(x, axis=1)
+            x = BatchNorm(self.train_bn, self.dtype, name="fuse_bn")(x)
+            return nn.relu(x)
+
+        if self.mode == "mean":
+            return jnp.mean(x, axis=1)
+
+        if self.mode == "ident":
+            b, v, nx, ny, nz, c = x.shape
+            x = x.transpose(0, 2, 3, 4, 1, 5).reshape(b, nx, ny, nz, v * c)
+            x = nn.relu(x)
+            x = nn.Conv(self.channels, (1, 1, 1), name="ident_conv",
+                        dtype=self.dtype)(x)
+            x = BatchNorm(self.train_bn, self.dtype, name="fuse_bn")(x)
+            return nn.relu(x)
+
+        if self.mode == "conv3d":
+            b, v, nx, ny, nz, c = x.shape
+            x = x.transpose(0, 2, 3, 4, 1, 5).reshape(b, nx, ny, nz, v * c)
+            x = nn.relu(x)
+            x = nn.Conv(self.channels * 2, (3, 3, 3), strides=(2, 2, 2),
+                        padding="SAME", name="down1", dtype=self.dtype)(x)
+            x = BatchNorm(self.train_bn, self.dtype, name="bn1")(x)
+            conv1 = nn.relu(x)
+            x = nn.Conv(self.channels * 4, (3, 3, 3), strides=(2, 2, 2),
+                        padding="SAME", name="down2", dtype=self.dtype)(conv1)
+            x = BatchNorm(self.train_bn, self.dtype, name="bn2")(x)
+            conv2 = nn.relu(x)
+            x = nn.ConvTranspose(self.channels * 2, (3, 3, 3),
+                                 strides=(2, 2, 2), padding="SAME",
+                                 name="up1", dtype=self.dtype)(conv2)
+            x = BatchNorm(self.train_bn, self.dtype, name="bn_up1")(x)
+            deconv1 = nn.relu(x)
+            x = jnp.concatenate([deconv1, conv1], axis=-1)
+            x = nn.ConvTranspose(self.channels, (3, 3, 3), strides=(2, 2, 2),
+                                 padding="SAME", name="up2",
+                                 dtype=self.dtype)(x)
+            x = BatchNorm(self.train_bn, self.dtype, name="bn_up2")(x)
+            return nn.relu(x)
+
+        if self.mode == "lstm3d":
+            x = nn.relu(x)
+            x = ConvLSTM3D(self.channels, dtype=self.dtype,
+                           name="convlstm")(x)
+            x = BatchNorm(self.train_bn, self.dtype, name="fuse_bn")(x)
+            return nn.relu(x)
+
+        raise ValueError(f"unknown fusion mode {self.mode}")
+
+
+class DepthCollapse(nn.Module):
+    """[B, D, S, S, C] ray slices -> [B, S, S, C_out] 2D map."""
+    mode: str            # 'conv3d' gets the deep collapse, others the 1x1
+    channels: int        # TOP_DOWN_PYRAMID_SIZE
+    samples: int
+    train_bn: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, d, s1, s2, c = x.shape
+        if self.mode == "conv3d":
+            # samples folded into channels -> depthwise + pointwise stack
+            # (model_multi.py:467-480)
+            x = x.transpose(0, 2, 3, 4, 1).reshape(b, s1, s2, c * d)
+            feat = c * d
+            x = nn.Conv(feat, (1, 1), feature_group_count=feat,
+                        name="dw1", dtype=self.dtype)(x)
+            x = nn.Conv(512, (1, 1), name="pw1", dtype=self.dtype)(x)
+            x = BatchNorm(self.train_bn, self.dtype, name="bn1")(x)
+            x = nn.relu(x)
+            x = nn.Conv(512, (1, 1), feature_group_count=512,
+                        name="dw2", dtype=self.dtype)(x)
+            x = nn.Conv(self.channels, (1, 1), name="pw2",
+                        dtype=self.dtype)(x)
+            x = BatchNorm(self.train_bn, self.dtype, name="bn2")(x)
+            return nn.relu(x)
+        # per-channel 1x1 conv collapsing samples -> 1, weights shared
+        # across channels (model_multi.py:482-487)
+        x = x.transpose(0, 4, 2, 3, 1)           # [B, C, S, S, D]
+        x = x.reshape(b * c, s1, s2, d)
+        x = nn.Conv(1, (1, 1), name="collapse", dtype=self.dtype)(x)
+        x = x.reshape(b, c, s1, s2)
+        x = BatchNorm(self.train_bn, self.dtype, name="bn")(x)
+        x = nn.relu(x)
+        return x.transpose(0, 2, 3, 1)

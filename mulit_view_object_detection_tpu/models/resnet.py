@@ -1,0 +1,124 @@
+"""ResNet-50/101 backbone (Flax linen), bottleneck-v1 topology matching the
+reference graph (model.py:95-206) so COCO h5 weights can be imported
+layer-for-layer:
+
+  stage 1: 7x7/2 conv (pad 3) + BN + relu + 3x3/2 same maxpool
+  stage 2: conv_block(64,64,256, stride 1) + 2 identity blocks
+  stage 3: conv_block(128,128,512) + 3 identity
+  stage 4: conv_block(256,256,1024) + {resnet50: 3, resnet101: 22} identity
+           (the reference's multi-view fork silently uses 5 for resnet50,
+            model_multi.py:596 — reproducible via stage4_blocks)
+  stage 5: conv_block(512,512,2048) + 2 identity
+
+The view axis is folded into the batch axis by the caller (the TPU-native
+equivalent of the reference's TimeDistributed wrapping, model_multi.py:497-502)
+— the backbone itself is single-image.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+BLOCK_COUNTS = {"resnet50": 3, "resnet101": 22}
+
+
+class BatchNorm(nn.Module):
+    """BN that is frozen (running stats) when train_bn is False — the
+    reference's default regime (config.py:208, model_multi.py:71-86)."""
+    train_bn: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.BatchNorm(
+            use_running_average=not self.train_bn,
+            momentum=0.9, epsilon=1e-3, dtype=self.dtype,
+            axis_name=None)(x)
+
+
+class Bottleneck(nn.Module):
+    """conv_block / identity_block (model.py:95-168)."""
+    filters: tuple  # (f1, f2, f3)
+    strides: int = 1
+    conv_shortcut: bool = False
+    train_bn: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        f1, f2, f3 = self.filters
+        shortcut = x
+        y = nn.Conv(f1, (1, 1), strides=self.strides, name="conv2a",
+                    dtype=self.dtype)(x)
+        y = BatchNorm(self.train_bn, self.dtype, name="bn2a")(y)
+        y = nn.relu(y)
+        y = nn.Conv(f2, (3, 3), padding="SAME", name="conv2b",
+                    dtype=self.dtype)(y)
+        y = BatchNorm(self.train_bn, self.dtype, name="bn2b")(y)
+        y = nn.relu(y)
+        y = nn.Conv(f3, (1, 1), name="conv2c", dtype=self.dtype)(y)
+        y = BatchNorm(self.train_bn, self.dtype, name="bn2c")(y)
+        if self.conv_shortcut:
+            shortcut = nn.Conv(f3, (1, 1), strides=self.strides, name="conv1",
+                               dtype=self.dtype)(x)
+            shortcut = BatchNorm(self.train_bn, self.dtype,
+                                 name="bn1")(shortcut)
+        return nn.relu(y + shortcut)
+
+
+class ResNet(nn.Module):
+    architecture: str = "resnet101"
+    stage5: bool = True
+    train_bn: bool = False
+    stage4_blocks: int | None = None  # override (multi-view fork quirk)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [N, H, W, 3] molded images. Returns [C1, C2, C3, C4, C5]."""
+        assert self.architecture in BLOCK_COUNTS
+        # Stage 1 (explicit pad 3 + valid conv, model.py:179-183)
+        y = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        y = nn.Conv(64, (7, 7), strides=2, padding="VALID", name="conv1",
+                    dtype=self.dtype)(y)
+        y = BatchNorm(self.train_bn, self.dtype, name="bn_conv1")(y)
+        y = nn.relu(y)
+        c1 = y = nn.max_pool(y, (3, 3), strides=(2, 2), padding="SAME")
+
+        # Stage 2
+        y = Bottleneck((64, 64, 256), 1, True, self.train_bn, self.dtype,
+                       name="res2a")(y)
+        y = Bottleneck((64, 64, 256), train_bn=self.train_bn,
+                       dtype=self.dtype, name="res2b")(y)
+        c2 = y = Bottleneck((64, 64, 256), train_bn=self.train_bn,
+                            dtype=self.dtype, name="res2c")(y)
+        # Stage 3
+        y = Bottleneck((128, 128, 512), 2, True, self.train_bn, self.dtype,
+                       name="res3a")(y)
+        for b in "bcd":
+            y = Bottleneck((128, 128, 512), train_bn=self.train_bn,
+                           dtype=self.dtype, name=f"res3{b}")(y)
+        c3 = y
+        # Stage 4
+        y = Bottleneck((256, 256, 1024), 2, True, self.train_bn, self.dtype,
+                       name="res4a")(y)
+        n_blocks = (self.stage4_blocks if self.stage4_blocks is not None
+                    else BLOCK_COUNTS[self.architecture])
+        for i in range(n_blocks):
+            y = Bottleneck((256, 256, 1024), train_bn=self.train_bn,
+                           dtype=self.dtype, name=f"res4{chr(98 + i)}")(y)
+        c4 = y
+        # Stage 5
+        if self.stage5:
+            y = Bottleneck((512, 512, 2048), 2, True, self.train_bn,
+                           self.dtype, name="res5a")(y)
+            y = Bottleneck((512, 512, 2048), train_bn=self.train_bn,
+                           dtype=self.dtype, name="res5b")(y)
+            c5 = Bottleneck((512, 512, 2048), train_bn=self.train_bn,
+                            dtype=self.dtype, name="res5c")(y)
+        else:
+            c5 = None
+        return [c1, c2, c3, c4, c5]

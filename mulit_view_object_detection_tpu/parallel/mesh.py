@@ -1,0 +1,85 @@
+"""Device mesh + sharding — the framework's distribution layer.
+
+The reference's only multi-device path is an in-graph-replication
+ParallelModel whose module is MISSING from the repo (model_multi.py:
+2556-2559) — multi-GPU is dead code there. Here distribution is
+first-class and TPU-native (SURVEY.md §2.4):
+
+  * a 2D logical mesh (data, view): batch sharded over `data` (DP), the
+    view axis optionally sharded over `view` (the framework's
+    sequence-parallel analog — each device unprojects its views into
+    partial voxel grids; XLA inserts the psum/all-gather for the fusion
+    reduction over ICI);
+  * parameters replicated; XLA SPMD inserts gradient all-reduce;
+  * multi-host: `jax.distributed.initialize` + per-host data sharding via
+    the same specs.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data=None, view=1, devices=None):
+    """Create a (data, view) mesh over available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // view
+    assert data * view == n, f"mesh {data}x{view} != {n} devices"
+    dev_array = mesh_utils.create_device_mesh((data, view),
+                                              devices=devices)
+    return Mesh(dev_array, axis_names=("data", "view"))
+
+
+def batch_sharding(mesh, view_sharding=False):
+    """NamedSharding per batch key. Batch axis 0 -> 'data'; the view axis
+    (axis 1 of images/Rcam/depths) -> 'view' when view_sharding."""
+    vs = "view" if view_sharding else None
+    spec = {
+        "images": P("data", vs),
+        "image_meta": P("data"),
+        "anchors": P(),                 # replicated constant
+        "Rcam": P("data", vs),
+        "Kmat": P("data"),
+        "depths": P("data", vs),
+        "gt_class_ids": P("data"),
+        "gt_boxes": P("data"),
+        "gt_masks": P("data"),
+        "rpn_match": P("data"),
+        "rpn_bbox": P("data"),
+    }
+    return {k: NamedSharding(mesh, v) for k, v in spec.items()}
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, shardings):
+    """Place a host batch onto the mesh with the given shardings."""
+    return {
+        k: jax.device_put(v, shardings[k]) if k in shardings else v
+        for k, v in batch.items()
+    }
+
+
+def make_parallel_train_step(train_step, mesh, view_sharding=False):
+    """Wrap a jitted train step with mesh shardings: state replicated, batch
+    data(+view)-sharded. XLA SPMD handles the collectives."""
+    b_shard = batch_sharding(mesh, view_sharding)
+    rep = replicated(mesh)
+
+    def step(state, batch, rng):
+        batch = shard_batch(batch, b_shard)
+        return train_step(state, batch, rng)
+
+    return step
+
+
+def replicate_state(state, mesh):
+    rep = replicated(mesh)
+    return jax.device_put(state, rep)

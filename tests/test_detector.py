@@ -1,0 +1,125 @@
+"""End-to-end model forward/training-step smoke tests on tiny shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mulit_view_object_detection_tpu.config import Config
+from mulit_view_object_detection_tpu.models.detector import (
+    MaskRCNN, make_dummy_batch)
+
+
+class TinyBase(Config):
+    NAME = "tiny"
+    NUM_CLASSES = 4
+    IMAGE_MIN_DIM = 64
+    IMAGE_MAX_DIM = 64
+    RPN_ANCHOR_SCALES = (8, 16, 32, 64, 128)
+    BACKBONE = "resnet50"
+    TOP_DOWN_PYRAMID_SIZE = 18   # divisible by 3 for the transformer
+    FPN_CLASSIF_FC_LAYERS_SIZE = 32
+    PRE_NMS_LIMIT = 256
+    POST_NMS_ROIS_TRAINING = 32
+    POST_NMS_ROIS_INFERENCE = 32
+    TRAIN_ROIS_PER_IMAGE = 16
+    DETECTION_MAX_INSTANCES = 8
+    MAX_GT_INSTANCES = 8
+    nvox = 8
+    nvox_z = 8
+    vmin, vmax = -2.0, 2.0
+    vmin_z, vmax_z = 1.0, 5.0
+    samples = 4
+    XFORMER_NUM_LAYERS = 1
+    XFORMER_D_MODEL = 18
+    XFORMER_NUM_HEADS = 2
+    XFORMER_DFF = 24
+
+
+def _init_and_run(cfg, training):
+    model = MaskRCNN(cfg)
+    batch = make_dummy_batch(cfg, training=training)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, batch, training=training)
+    out = model.apply(variables, batch, training=training,
+                      rngs={"sampling": jax.random.PRNGKey(3),
+                            "dropout": jax.random.PRNGKey(4)})
+    return variables, out
+
+
+def test_single_view_inference():
+    class C(TinyBase):
+        NUM_VIEWS = 1
+    cfg = C()
+    _, out = _init_and_run(cfg, training=False)
+    assert out["detections"].shape == (1, 8, 6)
+    assert out["mrcnn_masks"].shape == (1, 8, 28, 28, 4)
+    assert out["proposals"].shape == (1, 32, 4)
+    assert np.isfinite(np.asarray(out["detections"])).all()
+
+
+def test_multiview_conv3d_inference():
+    class C(TinyBase):
+        NUM_VIEWS = 2
+        GRID_REAS = "conv3d"
+        IMAGES_PER_GPU = 1
+    cfg = C()
+    variables, out = _init_and_run(cfg, training=False)
+    assert out["detections"].shape == (1, 8, 6)
+    # fusion params exist and are shared across levels (single module)
+    assert "grid_fusion" in variables["params"]
+    assert "depth_collapse" in variables["params"]
+
+
+def test_multiview_add_training_losses():
+    class C(TinyBase):
+        NUM_VIEWS = 2
+        GRID_REAS = "add"
+    cfg = C()
+    from mulit_view_object_detection_tpu.train.step import compute_losses
+
+    model = MaskRCNN(cfg)
+    batch = make_dummy_batch(cfg, training=True)
+    # put one GT box in each image so positives can exist
+    batch["gt_class_ids"][:, 0] = 1
+    batch["gt_boxes"][:, 0] = [0.3, 0.3, 0.6, 0.6]
+    batch["gt_masks"][:, 0] = 1.0
+    batch["rpn_match"] = np.zeros((1, batch["anchors"].shape[0]), np.int32)
+    batch["rpn_match"][:, :8] = 1
+    batch["rpn_match"][:, 8:64] = -1
+    batch["rpn_bbox"] = np.zeros((1, cfg.RPN_TRAIN_ANCHORS_PER_IMAGE, 4),
+                                 np.float32)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, batch, training=True)
+    out = model.apply(variables, batch, training=True,
+                      rngs={"sampling": jax.random.PRNGKey(3),
+                            "dropout": jax.random.PRNGKey(4)})
+    assert out["rois"].shape == (1, 16, 4)
+    losses = compute_losses(out, batch, cfg)
+    for name, val in losses.items():
+        v = float(val)
+        assert np.isfinite(v), name
+        assert v >= 0, name
+
+
+def test_vanilla_and_transformer_paths():
+    class CV(TinyBase):
+        NUM_VIEWS = 2
+        VANILLA = True
+    _, out = _init_and_run(CV(), training=False)
+    assert out["detections"].shape == (1, 8, 6)
+
+    class CT(TinyBase):
+        NUM_VIEWS = 2
+        TRANSFORMER = True
+        samples = 1
+    cfg = CT()
+    variables, out = _init_and_run(cfg, training=False)
+    assert out["detections"].shape == (1, 8, 6)
+    assert "view_transformer" in variables["params"]

@@ -1,0 +1,136 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mulit_view_object_detection_tpu.models.fpn import FPN
+from mulit_view_object_detection_tpu.models.fusion import (
+    ConvLSTM3D, DepthCollapse, GridFusion)
+from mulit_view_object_detection_tpu.models.heads import (
+    ClassifierHead, MaskHead)
+from mulit_view_object_detection_tpu.models.resnet import ResNet
+from mulit_view_object_detection_tpu.models.rpn import RPNHead
+from mulit_view_object_detection_tpu.models.transformer import (
+    ViewFusionTransformer, positional_encoding_3d)
+
+
+def test_resnet_shapes():
+    m = ResNet("resnet50")
+    x = jnp.zeros((1, 64, 64, 3))
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    c1, c2, c3, c4, c5 = m.apply(vars_, x)
+    assert c1.shape == (1, 16, 16, 64)
+    assert c2.shape == (1, 16, 16, 256)
+    assert c3.shape == (1, 8, 8, 512)
+    assert c4.shape == (1, 4, 4, 1024)
+    assert c5.shape == (1, 2, 2, 2048)
+
+
+def test_fpn_shapes():
+    m = FPN(out_channels=32)
+    shapes = [(1, 16, 16, 256), (1, 8, 8, 512), (1, 4, 4, 1024),
+              (1, 2, 2, 2048)]
+    cs = [jnp.zeros(s) for s in shapes]
+    vars_ = m.init(jax.random.PRNGKey(0), *cs)
+    p2, p3, p4, p5, p6 = m.apply(vars_, *cs)
+    assert p2.shape == (1, 16, 16, 32)
+    assert p5.shape == (1, 2, 2, 32)
+    assert p6.shape == (1, 1, 1, 32)
+
+
+def test_rpn_shared_weights():
+    m = RPNHead(anchors_per_location=3)
+    x = jnp.ones((2, 8, 8, 32))
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    logits, probs, deltas = m.apply(vars_, x)
+    assert logits.shape == (2, 8 * 8 * 3, 2)
+    assert probs.shape == (2, 8 * 8 * 3, 2)
+    assert deltas.shape == (2, 8 * 8 * 3, 4)
+    np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, atol=1e-5)
+
+
+def test_heads_shapes():
+    ch = ClassifierHead(num_classes=5, pool_size=7, fc_layers_size=64)
+    pooled = jnp.zeros((2, 10, 7, 7, 32))
+    vars_ = ch.init(jax.random.PRNGKey(0), pooled)
+    logits, probs, bbox = ch.apply(vars_, pooled)
+    assert logits.shape == (2, 10, 5)
+    assert bbox.shape == (2, 10, 5, 4)
+
+    mh = MaskHead(num_classes=5, conv_filters=32)
+    pooled = jnp.zeros((2, 10, 14, 14, 32))
+    vars_ = mh.init(jax.random.PRNGKey(0), pooled)
+    masks = mh.apply(vars_, pooled)
+    assert masks.shape == (2, 10, 28, 28, 5)
+    assert (np.asarray(masks) >= 0).all() and (np.asarray(masks) <= 1).all()
+
+
+def test_fusion_modes():
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 2, 4, 4, 4, 8)
+                    .astype(np.float32))
+    for mode in ("add", "mean", "ident", "conv3d", "lstm3d"):
+        m = GridFusion(mode=mode, channels=8, num_views=2)
+        vars_ = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(vars_, x)
+        assert out.shape == (1, 4, 4, 4, 8), mode
+        assert np.isfinite(np.asarray(out)).all(), mode
+
+
+def test_fusion_mean_is_mean():
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 3, 2, 2, 2, 4)
+                    .astype(np.float32))
+    m = GridFusion(mode="mean", channels=4, num_views=3)
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(vars_, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x).mean(1),
+                               atol=1e-6)
+
+
+def test_convlstm_scan_matches_unroll():
+    """lax.scan over views == manual per-view unrolled cell application."""
+    from mulit_view_object_detection_tpu.models.fusion import ConvLSTMCell3D
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 3, 2, 2, 2, 4)
+                    .astype(np.float32))
+    m = ConvLSTM3D(filters=4)
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    out = np.asarray(m.apply(vars_, x))
+
+    cell = ConvLSTMCell3D(filters=4)
+    cell_vars = {"params": vars_["params"]["cell"]}
+    carry = (jnp.zeros((1, 2, 2, 2, 4)), jnp.zeros((1, 2, 2, 2, 4)))
+    for t in range(3):
+        carry, _ = cell.apply(cell_vars, carry, x[:, t])
+    np.testing.assert_allclose(out, np.asarray(carry[1]), atol=1e-5)
+
+
+def test_depth_collapse_modes():
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 4, 8, 8, 16)
+                    .astype(np.float32))
+    for mode in ("conv3d", "add"):
+        m = DepthCollapse(mode=mode, channels=16, samples=4)
+        vars_ = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(vars_, x)
+        assert out.shape == (1, 8, 8, 16), mode
+
+
+def test_positional_encoding_3d():
+    pos = jnp.asarray(np.random.RandomState(0).randn(1, 10, 3)
+                      .astype(np.float32))
+    pe = np.asarray(positional_encoding_3d(pos, 72))
+    assert pe.shape == (1, 10, 72)
+    assert np.abs(pe).max() <= 1.0 + 1e-6
+    # zero position -> sin terms 0, cos terms 1
+    pe0 = np.asarray(positional_encoding_3d(jnp.zeros((1, 1, 3)), 72))[0, 0]
+    assert set(np.round(pe0, 6).tolist()) <= {0.0, 1.0}
+
+
+def test_view_transformer():
+    m = ViewFusionTransformer(num_layers=2, d_model=24, num_heads=4, dff=32,
+                              target_size=4)
+    tokens = jnp.asarray(np.random.RandomState(0).rand(1, 32, 24)
+                         .astype(np.float32))
+    pos = jnp.asarray(np.random.RandomState(1).randn(1, 32, 3)
+                      .astype(np.float32))
+    vars_ = m.init(jax.random.PRNGKey(0), tokens, pos)
+    out = m.apply(vars_, tokens, pos)
+    assert out.shape == (1, 4, 4, 24)
+    assert np.isfinite(np.asarray(out)).all()
