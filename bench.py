@@ -1,0 +1,92 @@
+"""Benchmark: multi-view Mask R-CNN inference frames/sec/chip on TPU.
+
+Exercises BASELINE.json config #2's shape: 2-view fusion inference at the
+reference's InteriorNet settings (interior_multi.py:370-394 — 640^2 input,
+resnet50, TOP_DOWN_PYRAMID_SIZE=64, conv3d U-Net fusion, nvox=40^2 x 40,
+samples=20, PRE_NMS_LIMIT=1500, POST_NMS 500).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+The reference publishes no throughput numbers (BASELINE.md); vs_baseline is
+measured against the documented estimate in BENCH_NOTES.md (TF1 single-GPU
+multi-view inference ~= 2.0 frames/sec).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_FPS = 2.0  # see BENCH_NOTES.md
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    import jax
+
+    from mulit_view_object_detection_tpu.config import Config
+    from mulit_view_object_detection_tpu.models.detector import (
+        MaskRCNN, make_dummy_batch)
+
+    class BenchConfig(Config):
+        NAME = "bench"
+        NUM_CLASSES = 23
+        NUM_VIEWS = 2
+        BACKBONE = "resnet50"
+        TOP_DOWN_PYRAMID_SIZE = 64
+        GRID_REAS = "conv3d"
+        IMAGE_MIN_DIM = 640
+        IMAGE_MAX_DIM = 640
+        PRE_NMS_LIMIT = 1500
+        POST_NMS_ROIS_INFERENCE = 500
+        DETECTION_MAX_INSTANCES = 100
+        nvox = 40
+        nvox_z = 40
+        vmin, vmax = -2.5, 2.5
+        vmin_z, vmax_z = 1.0, 10.0
+        samples = 20
+        COMPUTE_DTYPE = "bfloat16"
+
+    cfg = BenchConfig()
+    model = MaskRCNN(cfg)
+    batch = make_dummy_batch(cfg, training=False)
+    rng = np.random.RandomState(0)
+    batch["images"] = rng.randn(*batch["images"].shape).astype(
+        np.float32) * 50.0
+    batch = {k: jax.device_put(v) for k, v in batch.items()}
+
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, batch, training=False)
+
+    @jax.jit
+    def infer(variables, batch):
+        out = model.apply(variables, batch, training=False)
+        return out["detections"], out["mrcnn_masks"]
+
+    # warmup/compile
+    det, masks = infer(variables, batch)
+    jax.block_until_ready(det)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        det, masks = infer(variables, batch)
+    jax.block_until_ready(det)
+    dt = time.perf_counter() - t0
+
+    frames = iters * cfg.BATCH_SIZE  # main-view frames detected
+    fps = frames / dt
+    print(json.dumps({
+        "metric": "multiview_inference_2view_640_conv3d",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

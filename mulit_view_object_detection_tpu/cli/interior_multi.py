@@ -1,0 +1,217 @@
+"""Multi-view InteriorNet CLI: train / evaluate / visualize.
+
+Mirrors samples/interior/interior_multi.py:335-605 — same commands, same
+config values (TrainConfig at :370-394, 3-stage schedule at :483-501,
+AP@0.5 evaluation protocol at :504-565) — on the TPU-native engine.
+
+Usage:
+  python -m mulit_view_object_detection_tpu.cli.interior_multi train \
+      --dataset /path/to/InteriorNet/HD7 --model coco --logs ./logs
+  python -m mulit_view_object_detection_tpu.cli.interior_multi evaluate \
+      --dataset ... --model last
+  python -m mulit_view_object_detection_tpu.cli.interior_multi visualize \
+      --dataset ... --model last
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from ..compat import MaskRCNN
+from ..config import Config
+from ..data.classes import NYU40_TO_SELECTED, SELECTED_CLASSES
+from ..data.interiornet import InteriorNetDataset
+from ..data.molding import resize_image
+from ..eval.metrics import compute_ap
+from ..utils import visualize
+
+DEFAULT_LOGS_DIR = "logs"
+
+
+class InteriorNetConfig(Config):
+    """interior_multi.py:61-80 + TrainConfig :370-394."""
+    NAME = "interior"
+    NUM_CLASSES = len(SELECTED_CLASSES)      # 23 incl. BG
+    IMAGES_PER_GPU = 1
+    STEPS_PER_EPOCH = 100
+    IMAGE_MIN_DIM = 640
+    IMAGE_MAX_DIM = 640
+    BACKBONE = "resnet50"
+    RESNET50_STAGE4_BLOCKS = 5               # fork quirk, model_multi.py:596
+    TOP_DOWN_PYRAMID_SIZE = 64
+    POST_NMS_ROIS_TRAINING = 500
+    PRE_NMS_LIMIT = 1500
+    NUM_VIEWS = 2
+    GRID_REAS = "conv3d"
+    VANILLA = False
+    nvox = 40
+    nvox_z = 40
+    vmin, vmax = -2.5, 2.5
+    vmin_z, vmax_z = 1.0, 10.0
+    samples = 20
+    COMPUTE_DTYPE = "bfloat16"
+
+
+class InferenceConfig(InteriorNetConfig):
+    GPU_COUNT = 1
+    IMAGES_PER_GPU = 1
+    DETECTION_MIN_CONFIDENCE = 0.7
+
+
+def load_dataset(dataset_dir, subset):
+    ds = InteriorNetDataset()
+    ds.load_interiornet(dataset_dir, subset, NYU40_TO_SELECTED,
+                        SELECTED_CLASSES)
+    ds.prepare()
+    return ds
+
+
+def cmd_train(args):
+    config = InteriorNetConfig()
+    config.display()
+    model = MaskRCNN(mode="training", config=config, model_dir=args.logs)
+    if args.model:
+        _load_model_weights(model, args)
+
+    dataset_train = load_dataset(args.dataset, "train")
+    dataset_val = load_dataset(args.dataset, "val")
+
+    # 3-stage schedule (interior_multi.py:483-501)
+    print("Training grid fusion and heads")
+    model.train(dataset_train, dataset_val,
+                learning_rate=config.LEARNING_RATE, epochs=301,
+                layers="grid+")
+    print("Training Resnet stage 4 and up")
+    model.train(dataset_train, dataset_val,
+                learning_rate=config.LEARNING_RATE, epochs=4001,
+                layers="4+")
+    print("Fine tune all layers")
+    model.train(dataset_train, dataset_val,
+                learning_rate=config.LEARNING_RATE / 10, epochs=4501,
+                layers="all")
+
+
+def _load_model_weights(model, args):
+    if args.model.lower() == "last":
+        model.load_weights(model.find_last())
+    elif args.model.lower() == "coco":
+        # COCO h5 import (head layers excluded for the 23-class taxonomy,
+        # interior_multi.py:441-447)
+        from ..utils.h5_import import load_h5_weights
+        state = model._ensure_state()
+        params, batch_stats, _ = load_h5_weights(
+            args.coco_weights, state.params, state.batch_stats,
+            verbose=True)
+        model._state = state.replace(params=params, batch_stats=batch_stats)
+    else:
+        model.load_weights(args.model)
+
+
+def _eval_views(dataset, config, model, keys, num_views, rnd_state=0,
+                max_views=5):
+    """Mean AP@0.5 over view_map entries (interior_multi.py:504-565)."""
+    from ..data.generator import load_image_gt
+
+    aps = []
+    for count, key in enumerate(keys):
+        view_ids = dataset.load_view(max_views, key, rnd_state=rnd_state)
+        if view_ids is None:
+            continue
+        view_ids = view_ids[:num_views]
+        main_id = view_ids[0]
+        image, image_meta, gt_class_id, gt_bbox, gt_mask = load_image_gt(
+            dataset, config, main_id, use_mini_mask=False)
+        views = []
+        R = np.zeros((1, num_views, 3, 4), np.float32)
+        for i, vid in enumerate(view_ids):
+            im = dataset.load_image(vid)
+            im, *_ = resize_image(im, min_dim=config.IMAGE_MIN_DIM,
+                                  min_scale=config.IMAGE_MIN_SCALE,
+                                  max_dim=config.IMAGE_MAX_DIM,
+                                  mode=config.IMAGE_RESIZE_MODE)
+            views.append(im)
+            R[0, i] = dataset.load_R(vid)
+        K = dataset.K[None].astype(np.float32)
+        results = model.detect([np.stack(views)], Rcam=R, Kmat=K)
+        r = results[0]
+        if r["masks"].shape[-1] == 0 or gt_mask.shape[-1] == 0:
+            aps.append(0.0)
+            continue
+        ap, *_ = compute_ap(gt_bbox.astype(np.float32), gt_class_id,
+                            gt_mask, r["rois"].astype(np.float32),
+                            r["class_ids"], r["scores"], r["masks"],
+                            iou_threshold=0.5)
+        aps.append(ap)
+        print(f"{count}: running meanAP = {np.mean(aps):.4f}")
+    return float(np.mean(aps)) if aps else 0.0
+
+
+def cmd_evaluate(args):
+    config = InferenceConfig()
+    model = MaskRCNN(mode="inference", config=config, model_dir=args.logs)
+    _load_model_weights(model, args)
+    dataset_val = load_dataset(args.dataset, "val")
+    keys = list(dataset_val.view_map.keys())
+    if args.limit:
+        keys = keys[:args.limit]
+    mean_ap = _eval_views(dataset_val, config, model, keys,
+                          config.NUM_VIEWS, rnd_state=0)
+    print(f"mAP@50: {mean_ap:.4f}")
+    return mean_ap
+
+
+def cmd_visualize(args):
+    config = InferenceConfig()
+    model = MaskRCNN(mode="inference", config=config, model_dir=args.logs)
+    _load_model_weights(model, args)
+    dataset_val = load_dataset(args.dataset, "val")
+    keys = list(dataset_val.view_map.keys())[:args.limit or 20]
+    out_dir = os.path.join("Results", f"NV{config.NUM_VIEWS}")
+    for key in keys:
+        view_ids = dataset_val.load_view(5, key, rnd_state=0)
+        if view_ids is None:
+            continue
+        view_ids = view_ids[:config.NUM_VIEWS]
+        views, R = [], np.zeros((1, config.NUM_VIEWS, 3, 4), np.float32)
+        for i, vid in enumerate(view_ids):
+            im = dataset_val.load_image(vid)
+            im, *_ = resize_image(im, min_dim=config.IMAGE_MIN_DIM,
+                                  max_dim=config.IMAGE_MAX_DIM,
+                                  mode=config.IMAGE_RESIZE_MODE)
+            views.append(im)
+            R[0, i] = dataset_val.load_R(vid)
+        results = model.detect([np.stack(views)], Rcam=R,
+                               Kmat=dataset_val.K[None].astype(np.float32))
+        r = results[0]
+        visualize.save_image(
+            views[0], str(key), r["rois"], r["masks"], r["class_ids"],
+            r["scores"], SELECTED_CLASSES, save_dir=out_dir, mode=0)
+        print(f"saved {key} -> {out_dir}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Train/evaluate multi-view Mask R-CNN on InteriorNet.")
+    parser.add_argument("command", choices=["train", "evaluate", "visualize"])
+    parser.add_argument("--dataset", required=True,
+                        help="Root of InteriorNet HD1/HD7")
+    parser.add_argument("--model", default=None,
+                        help="'coco', 'last', or a checkpoint path")
+    parser.add_argument("--coco-weights", default="mask_rcnn_coco.h5",
+                        help="Path to Matterport COCO h5 (for --model coco)")
+    parser.add_argument("--logs", default=DEFAULT_LOGS_DIR)
+    parser.add_argument("--limit", type=int, default=0)
+    args = parser.parse_args(argv)
+    if args.command == "train":
+        cmd_train(args)
+    elif args.command == "evaluate":
+        cmd_evaluate(args)
+    else:
+        cmd_visualize(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,293 @@
+"""Matterport-parity engine API.
+
+`MaskRCNN(mode, config, model_dir)` with `detect(images, Rcam, Kmat,
+depths)`, `train(...)`, `mold_inputs`/`unmold_detections`, `get_anchors`,
+`find_last`, `load_weights`/`save_weights` — the public surface of the
+reference engine (model.py:1824-2725, model_multi.py:2300-3271), backed by
+the jitted JAX model instead of a Keras graph/session.
+"""
+
+from __future__ import annotations
+
+import datetime
+import logging
+import os
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config  # noqa: F401  (re-export convenience)
+from ..data.generator import BatchPrefetcher, make_batch
+from ..data.molding import mold_image, resize_image, unmold_mask
+from ..ops.anchors import get_anchors
+from ..ops.boxes import denorm_boxes_np, norm_boxes_np
+from ..ops.image_meta import compose_image_meta
+from ..models.detector import MaskRCNN as _Model, make_dummy_batch
+from ..train.checkpoint import (latest_step, restore_checkpoint,
+                                save_checkpoint)
+from ..train.step import (create_train_state, make_eval_step,
+                          make_train_step)
+
+log = logging.getLogger(__name__)
+
+
+class MaskRCNN:
+    """Engine wrapper: mode in {'training', 'inference'}."""
+
+    def __init__(self, mode, config, model_dir):
+        assert mode in ("training", "inference")
+        self.mode = mode
+        self.config = config
+        self.model_dir = model_dir
+        self.model = _Model(config)
+        self.epoch = 0
+        self._state = None
+        self._infer_step = None
+        self._rng = jax.random.PRNGKey(0)
+        self.set_log_dir()
+
+    # ------------------------------------------------------------------ #
+    # state / weights
+    # ------------------------------------------------------------------ #
+    def _ensure_state(self):
+        if self._state is None:
+            batch = make_dummy_batch(self.config, training=True)
+            self._state = create_train_state(
+                self.model, self.config, jax.random.PRNGKey(0), batch)
+        return self._state
+
+    def load_weights(self, filepath, by_name=True, exclude=None):
+        """Restore an Orbax checkpoint directory; `exclude` drops param
+        sub-trees by top-level name (head-swap transfer learning,
+        model.py:2102-2144)."""
+        state = self._ensure_state()
+        restored = restore_checkpoint(filepath, state)
+        if exclude:
+            params = dict(restored.params)
+            for name in exclude:
+                if name in params:
+                    params[name] = state.params[name]
+            restored = restored.replace(params=params)
+        self._state = restored
+        self._infer_step = None
+        return self
+
+    def save_weights(self, filepath, step=None):
+        return save_checkpoint(filepath, self._ensure_state(), step=step)
+
+    def find_last(self):
+        """Newest checkpoint in model_dir (model.py:2073-2100)."""
+        dir_names = [d for d in sorted(os.listdir(self.model_dir))
+                     if d.startswith(self.config.NAME.lower() or "")]
+        for d in reversed(dir_names):
+            ckpt = os.path.join(self.model_dir, d, "checkpoints")
+            if latest_step(ckpt) is not None:
+                return ckpt
+        ckpt = os.path.join(self.log_dir, "checkpoints")
+        if latest_step(ckpt) is not None:
+            return ckpt
+        raise FileNotFoundError(
+            f"Could not find weight files in {self.model_dir}")
+
+    def set_log_dir(self, model_path=None):
+        """Epoch/timestamp bookkeeping (model.py:2245-2281). With Orbax the
+        epoch is the checkpoint step; model_path may name a checkpoint dir
+        whose latest step resumes the count."""
+        self.epoch = 0
+        now = datetime.datetime.now()
+        if model_path is not None:
+            step = latest_step(model_path)
+            if step is not None:
+                self.epoch = int(step)
+        name = (self.config.NAME or "maskrcnn").lower()
+        self.log_dir = os.path.join(
+            self.model_dir, "{}{:%Y%m%dT%H%M}".format(name, now))
+        self.checkpoint_dir = os.path.join(self.log_dir, "checkpoints")
+
+    # ------------------------------------------------------------------ #
+    # molding
+    # ------------------------------------------------------------------ #
+    def mold_inputs(self, images):
+        """images: list of [H, W, 3] uint8. Returns (molded [N, h, w, 3],
+        metas [N, META], windows [N, 4]) (model.py:2666-2696)."""
+        molded_images, image_metas, windows = [], [], []
+        for image in images:
+            molded_image, window, scale, padding, crop = resize_image(
+                image,
+                min_dim=self.config.IMAGE_MIN_DIM,
+                min_scale=self.config.IMAGE_MIN_SCALE,
+                max_dim=self.config.IMAGE_MAX_DIM,
+                mode=self.config.IMAGE_RESIZE_MODE)
+            molded_image = mold_image(molded_image, self.config.MEAN_PIXEL)
+            image_meta = compose_image_meta(
+                0, image.shape, molded_image.shape, window, scale,
+                np.zeros([self.config.NUM_CLASSES], dtype=np.int32))
+            molded_images.append(molded_image)
+            image_metas.append(image_meta)
+            windows.append(window)
+        return (np.stack(molded_images), np.stack(image_metas),
+                np.stack(windows))
+
+    def unmold_detections(self, detections, mrcnn_mask, original_image_shape,
+                          image_shape, window):
+        """Device outputs -> pixel-space results (model.py:2954-3017)."""
+        zero_ix = np.where(detections[:, 4] == 0)[0]
+        n = zero_ix[0] if zero_ix.shape[0] > 0 else detections.shape[0]
+
+        boxes = detections[:n, :4]
+        class_ids = detections[:n, 4].astype(np.int32)
+        scores = detections[:n, 5]
+        masks = mrcnn_mask[np.arange(n), :, :, class_ids]
+
+        window_n = norm_boxes_np(np.asarray(window, np.float32),
+                                 image_shape[:2])
+        wy1, wx1, wy2, wx2 = window_n
+        shift = np.array([wy1, wx1, wy1, wx1])
+        wh = wy2 - wy1
+        ww = wx2 - wx1
+        scale = np.array([wh, ww, wh, ww])
+        boxes = np.divide(boxes - shift, scale)
+        boxes = denorm_boxes_np(boxes, original_image_shape[:2])
+
+        exclude_ix = np.where(
+            (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]) <= 0)[0]
+        if exclude_ix.shape[0] > 0:
+            boxes = np.delete(boxes, exclude_ix, axis=0)
+            class_ids = np.delete(class_ids, exclude_ix, axis=0)
+            scores = np.delete(scores, exclude_ix, axis=0)
+            masks = np.delete(masks, exclude_ix, axis=0)
+            n = class_ids.shape[0]
+
+        full_masks = []
+        for i in range(n):
+            full_mask = unmold_mask(masks[i], boxes[i], original_image_shape)
+            full_masks.append(full_mask)
+        full_masks = (np.stack(full_masks, axis=-1) if full_masks
+                      else np.empty(original_image_shape[:2] + (0,)))
+        return boxes, class_ids, scores, full_masks
+
+    def get_anchors(self, image_shape):
+        return get_anchors(self.config, image_shape)
+
+    # ------------------------------------------------------------------ #
+    # inference
+    # ------------------------------------------------------------------ #
+    def detect(self, images, Rcam=None, Kmat=None, depths=None, verbose=0):
+        """Run detection. For multi-view, each element of `images` is a
+        [V, H, W, 3] stack whose first view is the main view; Rcam [B,V,3,4],
+        Kmat [B,3,3] (model_multi.py:3019-3082). Returns list of dicts with
+        rois/class_ids/scores/masks."""
+        cfg = self.config
+        state = self._ensure_state()
+        if self._infer_step is None:
+            self._infer_step = make_eval_step(cfg)
+
+        multiview = cfg.NUM_VIEWS > 1
+        batch_images = []
+        metas = None
+        windows = None
+        for item in images:
+            views = np.asarray(item)
+            if views.ndim == 3:
+                views = views[None]
+            molded, m, win = self.mold_inputs(list(views))
+            batch_images.append(molded)
+            if metas is None:
+                metas, windows = m[:1], win[:1]
+            else:
+                metas = np.concatenate([metas, m[:1]])
+                windows = np.concatenate([windows, win[:1]])
+        molded = np.stack(batch_images)  # [B, V, h, w, 3]
+        b, v = molded.shape[:2]
+        hw = molded.shape[2]
+
+        batch = {
+            "images": molded.astype(np.float32),
+            "image_meta": metas.astype(np.float32),
+            "anchors": self.get_anchors(molded.shape[2:]).astype(np.float32),
+        }
+        if multiview:
+            batch["Rcam"] = np.asarray(Rcam, np.float32)
+            batch["Kmat"] = np.asarray(Kmat, np.float32)
+        else:
+            batch["Rcam"] = np.tile(np.eye(3, 4, dtype=np.float32),
+                                    (b, v, 1, 1))
+            batch["Kmat"] = np.tile(np.eye(3, dtype=np.float32), (b, 1, 1))
+        if cfg.TRANSFORMER:
+            batch["depths"] = np.asarray(depths, np.float32)
+
+        outputs = self._infer_step(state, batch)
+        detections = np.asarray(outputs["detections"])
+        mrcnn_masks = np.asarray(outputs["mrcnn_masks"])
+
+        results = []
+        for i, item in enumerate(images):
+            views = np.asarray(item)
+            if views.ndim == 3:
+                views = views[None]
+            original_shape = views[0].shape
+            final_rois, final_class_ids, final_scores, final_masks = \
+                self.unmold_detections(detections[i], mrcnn_masks[i],
+                                       original_shape, molded.shape[2:5],
+                                       windows[i])
+            results.append({
+                "rois": final_rois,
+                "class_ids": final_class_ids,
+                "scores": final_scores,
+                "masks": final_masks,
+            })
+        return results
+
+    # ------------------------------------------------------------------ #
+    # training
+    # ------------------------------------------------------------------ #
+    def train(self, train_dataset, val_dataset, learning_rate, epochs,
+              layers, custom_callbacks=None, augmentation=None,
+              prefetch_threads=4, save_every_epochs=50):
+        """Stage-wise training loop (model_multi.py:2785-2912): `layers` is
+        'heads'|'grid+'|'grid+-'|'grid_only'|'3+'|'4+'|'5+'|'all' or a path
+        regex; `epochs` is the TOTAL epoch target (continues from
+        self.epoch)."""
+        assert self.mode == "training", "Create model in training mode."
+        cfg = self.config
+        state = self._ensure_state()
+        train_step = make_train_step(cfg, stage=layers)
+
+        with_depth = bool(cfg.TRANSFORMER)
+        prefetcher = BatchPrefetcher(
+            lambda seed: make_batch(train_dataset, cfg, rnd_state=seed,
+                                    with_depth=with_depth),
+            num_threads=prefetch_threads)
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        try:
+            for epoch in range(self.epoch, epochs):
+                metrics_acc = {}
+                for _ in range(cfg.STEPS_PER_EPOCH):
+                    batch = next(prefetcher)
+                    self._rng, step_rng = jax.random.split(self._rng)
+                    state, metrics = train_step(state, batch, step_rng)
+                    for k_, v_ in metrics.items():
+                        metrics_acc.setdefault(k_, []).append(float(v_))
+                means = {k_: float(np.mean(v_))
+                         for k_, v_ in metrics_acc.items()}
+                log.info("epoch %d: %s", epoch + 1, means)
+                print(f"epoch {epoch + 1}: " + " ".join(
+                    f"{k_}={v_:.4f}" for k_, v_ in sorted(means.items())))
+                if (epoch + 1) % save_every_epochs == 0 or epoch + 1 == epochs:
+                    self._state = state
+                    save_checkpoint(self.checkpoint_dir, state,
+                                    step=epoch + 1)
+                if custom_callbacks:
+                    for cb in custom_callbacks:
+                        cb(epoch + 1, means)
+        finally:
+            prefetcher.close()
+        self._state = state
+        self.epoch = max(self.epoch, epochs)
+
+
+def compute_backbone_shapes(config, image_shape):
+    from ..ops.anchors import compute_backbone_shapes as f
+    return f(config, image_shape)

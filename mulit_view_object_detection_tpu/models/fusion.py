@@ -165,11 +165,13 @@ class DepthCollapse(nn.Module):
             x = BatchNorm(self.train_bn, self.dtype, name="bn2")(x)
             return nn.relu(x)
         # per-channel 1x1 conv collapsing samples -> 1, weights shared
-        # across channels (model_multi.py:482-487)
+        # across channels; BN over the single collapsed feature exactly as
+        # the reference's channels-last BN on [B, C, S, S, 1]
+        # (model_multi.py:482-487)
         x = x.transpose(0, 4, 2, 3, 1)           # [B, C, S, S, D]
         x = x.reshape(b * c, s1, s2, d)
         x = nn.Conv(1, (1, 1), name="collapse", dtype=self.dtype)(x)
-        x = x.reshape(b, c, s1, s2)
+        x = x.reshape(b, c, s1, s2, 1)
         x = BatchNorm(self.train_bn, self.dtype, name="bn")(x)
         x = nn.relu(x)
-        return x.transpose(0, 2, 3, 1)
+        return x[..., 0].transpose(0, 2, 3, 1)

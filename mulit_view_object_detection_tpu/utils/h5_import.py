@@ -1,0 +1,142 @@
+"""Keras h5 -> flax params importer for Matterport Mask R-CNN weights.
+
+Maps the reference's layer names (mask_rcnn_coco.h5, Matterport release
+v2.0 — utils.py:33, model.py:2102-2144 load_weights) onto this framework's
+parameter tree:
+
+  conv1 / bn_conv1                  -> backbone/conv1, backbone/bn_conv1
+  res{S}{B}_branch2{a,b,c}, _branch1 -> backbone/res{S}{B}/conv2{a,b,c}, conv1
+  bn{S}{B}_branch*                  -> backbone/res{S}{B}/bn*
+  fpn_c{2..5}p{2..5}, fpn_p{2..5}   -> fpn/*
+  rpn_model/rpn_*                   -> rpn/*
+  mrcnn_class_*, mrcnn_bbox_fc      -> classifier_head/*
+  mrcnn_mask_*                      -> mask_head/*
+
+Keras Conv kernels are [kh, kw, in, out] (same as flax); Dense [in, out]
+(same); Conv2DTranspose kernels are [kh, kw, out, in] and are transposed to
+flax's [kh, kw, in, out]. BatchNorm gamma/beta -> scale/bias (params),
+moving_mean/moving_variance -> mean/var (batch_stats).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+
+def _h5_layer_weights(h5file):
+    """{layer_name: {weight_name: array}} from a keras h5 file."""
+    import h5py
+
+    out = {}
+    root = h5file["model_weights"] if "model_weights" in h5file else h5file
+
+    def visit(name, obj):
+        import h5py as _h
+        if isinstance(obj, _h.Dataset):
+            parts = name.split("/")
+            # .../<layer>/<weight>:0 ; nested models add prefixes
+            layer = parts[-2]
+            wname = parts[-1].split(":")[0]
+            out.setdefault(layer, {})[wname] = np.asarray(obj)
+
+    root.visititems(visit)
+    return out
+
+
+_BOTTLENECK_RE = re.compile(r"^(res|bn)(\d)([a-z]+)_branch(2[abc]|1)$")
+
+
+def _map_layer(name):
+    """Keras layer name -> (tree path tuple, is_bn)."""
+    m = _BOTTLENECK_RE.match(name)
+    if m:
+        kind, stage, block, branch = m.groups()
+        mod = f"res{stage}{block}"
+        prefix = "conv" if kind == "res" else "bn"
+        sub = prefix + branch            # conv2a/conv2b/conv2c/conv1, bn...
+        return ("backbone", mod, sub), kind == "bn"
+    if name == "conv1":
+        return ("backbone", "conv1"), False
+    if name == "bn_conv1":
+        return ("backbone", "bn_conv1"), True
+    if name.startswith("fpn_"):
+        return ("fpn", name), False
+    if name.startswith("rpn_"):
+        return ("rpn", name), False
+    if name.startswith("mrcnn_mask"):
+        bn = "bn" in name
+        return ("mask_head", name), bn
+    if name.startswith("mrcnn_"):
+        bn = "bn" in name
+        return ("classifier_head", name), bn
+    return None, False
+
+
+def _set_in(tree, path, leaf_name, value):
+    node = tree
+    for p in path:
+        node = node.setdefault(p, {})
+    node[leaf_name] = value
+
+
+def load_h5_weights(h5_path, params, batch_stats=None, verbose=False):
+    """Merge keras h5 weights into (a copy of) flax `params`/`batch_stats`
+    by name; unmatched layers are left at their current values (keras
+    by_name=True semantics). Returns (params, batch_stats, report)."""
+    import h5py
+
+    import jax
+
+    params = jax.tree_util.tree_map(np.asarray, params)
+    batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats or {})
+
+    with h5py.File(h5_path, "r") as f:
+        layers = _h5_layer_weights(f)
+
+    loaded, skipped = [], []
+    for lname, weights in layers.items():
+        path, is_bn = _map_layer(lname)
+        if path is None:
+            skipped.append(lname)
+            continue
+        try:
+            if is_bn:
+                bn_path = path + ("BatchNorm_0",)
+                _assign(params, bn_path, "scale", weights.get("gamma"))
+                _assign(params, bn_path, "bias", weights.get("beta"))
+                _assign(batch_stats, bn_path, "mean",
+                        weights.get("moving_mean"))
+                _assign(batch_stats, bn_path, "var",
+                        weights.get("moving_variance"))
+            else:
+                kernel = weights.get("kernel")
+                if kernel is not None and "deconv" in lname:
+                    kernel = np.transpose(kernel, (0, 1, 3, 2))
+                _assign(params, path, "kernel", kernel)
+                _assign(params, path, "bias", weights.get("bias"))
+            loaded.append(lname)
+        except KeyError:
+            skipped.append(lname)
+    report = {"loaded": loaded, "skipped": skipped}
+    if verbose:
+        print(f"h5 import: {len(loaded)} layers loaded, "
+              f"{len(skipped)} skipped: {skipped[:10]}")
+    return params, batch_stats, report
+
+
+def _assign(tree, path, leaf, value):
+    if value is None:
+        return
+    node = tree
+    for p in path:
+        if p not in node:
+            raise KeyError(p)
+        node = node[p]
+    if leaf not in node:
+        raise KeyError(leaf)
+    expect = np.asarray(node[leaf])
+    if expect.shape != value.shape:
+        raise KeyError(f"shape mismatch {expect.shape} vs {value.shape}")
+    node[leaf] = value.astype(expect.dtype)

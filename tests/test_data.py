@@ -1,0 +1,116 @@
+import numpy as np
+
+from mulit_view_object_detection_tpu.config import Config
+from mulit_view_object_detection_tpu.data.generator import (
+    load_image_gt, make_batch, make_sample)
+from mulit_view_object_detection_tpu.data.synthetic import (
+    SyntheticMultiViewDataset, SyntheticScene)
+from mulit_view_object_detection_tpu.data.view_mapping import (
+    build_instance_mapping, build_view_mapping, build_view_mapping_seq,
+    covisibility)
+
+
+class DataCfg(Config):
+    NAME = "datacfg"
+    NUM_CLASSES = 4
+    IMAGE_MIN_DIM = 64
+    IMAGE_MAX_DIM = 64
+    NUM_VIEWS = 2
+    MAX_GT_INSTANCES = 8
+    RPN_TRAIN_ANCHORS_PER_IMAGE = 64
+    RPN_ANCHOR_SCALES = (8, 16, 32, 64, 128)
+    USE_MINI_MASK = True
+    MINI_MASK_SHAPE = (28, 28)
+
+
+def test_synthetic_scene_consistency(rng):
+    scene = SyntheticScene(rng, num_objects=2, num_views=3, image_size=64)
+    for v in range(3):
+        image, masks, depth = scene.render(v)
+        assert image.shape == (64, 64, 3)
+        assert masks.shape == (64, 64, 2)
+        assert (depth > 0).all()
+    # main view must see at least one object
+    _, masks, _ = scene.render(0)
+    assert masks.any()
+
+
+def test_synthetic_dataset_api():
+    ds = SyntheticMultiViewDataset(num_scenes=2, num_views=3)
+    assert ds.num_images == 6
+    assert ds.num_classes == 4
+    image = ds.load_image(0)
+    assert image.shape == (64, 64, 3)
+    masks, class_ids = ds.load_mask(0)
+    assert masks.shape[:2] == (64, 64)
+    assert len(class_ids) == masks.shape[-1]
+    R = ds.load_R(0)
+    assert R.shape == (3, 4)
+    views = ds.load_view(2, "s0_v0")
+    assert len(views) == 2
+    depth = ds.load_depth(0, DataCfg())
+    assert depth.shape == (20, 20)
+
+
+def test_load_image_gt():
+    ds = SyntheticMultiViewDataset(num_scenes=1, num_views=2)
+    cfg = DataCfg()
+    image, meta, class_ids, bbox, mask = load_image_gt(
+        ds, cfg, 0, use_mini_mask=True)
+    assert image.shape == (64, 64, 3)
+    assert mask.shape[:2] == (28, 28)
+    assert bbox.shape == (len(class_ids), 4)
+    assert meta.shape == (cfg.IMAGE_META_SIZE,)
+
+
+def test_make_sample_and_batch():
+    ds = SyntheticMultiViewDataset(num_scenes=2, num_views=3)
+    cfg = DataCfg()
+    view_ids = ds.load_view(2, "s0_v0")
+    s = make_sample(ds, cfg, view_ids, rnd_state=0, with_depth=True)
+    assert s["images"].shape == (2, 64, 64, 3)
+    assert s["Rcam"].shape == (2, 3, 4)
+    assert s["Kmat"].shape == (3, 3)
+    assert s["gt_masks"].shape == (8, 28, 28)
+    assert s["gt_boxes"].max() <= 1.0
+    assert s["depths"].shape == (2, 20, 20)
+    assert (s["rpn_match"] != 0).any()
+
+    batch = make_batch(ds, cfg, rnd_state=0)
+    assert batch["images"].shape == (1, 2, 64, 64, 3)
+    assert batch["anchors"].ndim == 2
+
+
+def test_view_mapping_seq():
+    frames = [f"f{i}" for i in range(30)]
+    vm = build_view_mapping_seq(frames, view_range=10)
+    assert len(vm["f0"]) == 9
+    assert "f0" not in vm["f0"]
+    assert len(vm["f15"]) == 9
+
+
+def test_covisibility_and_view_mapping():
+    K = np.array([[64.0, 0, 32], [0, 64, 32], [0, 0, 1]])
+    ident = np.eye(3, 4)
+    # same camera: fully co-visible
+    frac, ok = covisibility(ident, ident, K, (64, 64))
+    assert ok and frac > 0.9
+    # camera 1km away: not co-visible
+    far = np.eye(3, 4)
+    far[0, 3] = 1000.0
+    frac, ok = covisibility(ident, far, K, (64, 64))
+    assert not ok and frac == 0.0
+
+    vm = build_view_mapping({"a": ident, "b": ident.copy(), "c": far},
+                            K, (64, 64))
+    assert "b" in vm["a"] and "a" in vm["b"]
+    assert "c" not in vm["a"] and "a" not in vm["c"]
+
+
+def test_instance_mapping():
+    m = build_instance_mapping({
+        "f0": [(7, 3), (8, 2)],
+        "f1": [(7, 3)],
+    })
+    assert m["7"] == [[3, "f0"], [3, "f1"]]
+    assert m["8"] == [[2, "f0"]]

@@ -110,6 +110,13 @@ def test_depth_collapse_modes():
         vars_ = m.init(jax.random.PRNGKey(0), x)
         out = m.apply(vars_, x)
         assert out.shape == (1, 8, 8, 16), mode
+        # the SAME module instance must apply to every pyramid level
+        # (weights shared across levels, reused_lay in the reference)
+        for s in (4, 2, 1):
+            xs = jnp.asarray(np.random.RandomState(1)
+                             .rand(1, 4, s, s, 16).astype(np.float32))
+            out = m.apply(vars_, xs)
+            assert out.shape == (1, s, s, 16), (mode, s)
 
 
 def test_positional_encoding_3d():
