@@ -1,0 +1,195 @@
+"""Pallas TPU kernel: fused voxel-grid unprojection (bilinear gather).
+
+The reference reaches this op through 4x `tf.gather_nd` over V views x
+nvox^3 voxels (model_multi.py:204-220) — the #1 hot loop (SURVEY.md §3.1).
+Dynamic gathers serialize badly on TPU; this kernel reformulates the 4-tap
+bilinear gather as ONE one-hot matmul per voxel tile:
+
+    out[t, c] = sum_p W[t, p] * F[p, c]
+
+where W (built on the VPU from comparisons) carries the 4 bilinear weights
+of voxel t in its row, and the contraction runs on the MXU. Per grid step
+(one view, one voxel tile) the whole per-view feature map stays resident in
+VMEM (P4 of a 640^2 input: 40*40*64 floats = 409 KB).
+
+Backward (d feats) is the transposed matmul with the same W, accumulated
+across voxel tiles — exact, via custom_vjp. Projection coordinates carry no
+gradient (they are functions of camera inputs only).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_TILE = 256
+
+
+def _interpret():
+    # compiled Mosaic on TPU; interpreter elsewhere (tests on CPU)
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _build_w(x, y, fh, fw, p, dtype):
+    """Bilinear one-hot weight matrix W [T, P] for feature-plane coords
+    (x, y) [T]; OOB taps contribute zero (GPU gather_nd semantics)."""
+    t = x.shape[0]
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    lx = x - x0f
+    ly = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, p), 1)
+    w = jnp.zeros((t, p), dtype)
+    for dy, wy in ((0, 1 - ly), (1, ly)):
+        for dx, wx in ((0, 1 - lx), (1, lx)):
+            xi = x0 + dx
+            yi = y0 + dy
+            valid = (xi >= 0) & (xi < fw) & (yi >= 0) & (yi < fh)
+            wgt = (wx * wy * valid).astype(dtype)
+            idx = (jnp.clip(yi, 0, fh - 1) * fw
+                   + jnp.clip(xi, 0, fw - 1))
+            w = w + (col == idx[:, None]).astype(dtype) * wgt[:, None]
+    return w
+
+
+def _fwd_kernel(x_ref, y_ref, f_ref, o_ref, *, fh, fw):
+    p = f_ref.shape[1]
+    w = _build_w(x_ref[0], y_ref[0], fh, fw, p, jnp.float32)
+    o_ref[0] = jnp.dot(w, f_ref[0].astype(jnp.float32),
+                       preferred_element_type=jnp.float32
+                       ).astype(o_ref.dtype)
+
+
+def _bwd_kernel(x_ref, y_ref, g_ref, df_ref, *, fh, fw):
+    p = df_ref.shape[1]
+    tile = pl.program_id(1)
+
+    @pl.when(tile == 0)
+    def _():
+        df_ref[0] = jnp.zeros_like(df_ref[0])
+
+    w = _build_w(x_ref[0], y_ref[0], fh, fw, p, jnp.float32)
+    df_ref[0] += jnp.dot(w.T, g_ref[0].astype(jnp.float32),
+                         preferred_element_type=jnp.float32
+                         ).astype(df_ref.dtype)
+
+
+def _pad_to(n, m):
+    return (n + m - 1) // m * m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def bilinear_gather(feats, x, y, fh, fw, tile=DEFAULT_TILE):
+    """feats: [BV, P, C] (P = fh*fw); x, y: [BV, N] feature-plane coords.
+    Returns [BV, N, C] bilinear samples with OOB-zero semantics."""
+    return _forward(feats, x, y, fh, fw, tile)
+
+
+def _forward(feats, x, y, fh, fw, tile):
+    bv, p, c = feats.shape
+    n = x.shape[1]
+    n_pad = _pad_to(n, tile)
+    if n_pad != n:
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n)), constant_values=-10.0)
+        y = jnp.pad(y, ((0, 0), (0, n_pad - n)), constant_values=-10.0)
+    tiles = n_pad // tile
+
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, fh=fh, fw=fw),
+        grid=(bv, tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile), lambda b, t: (b, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda b, t: (b, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, c), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, c), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bv, n_pad, c), feats.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bv * n_pad * p * c,
+            bytes_accessed=bv * (p * c * 4 + n_pad * (8 + c * 4)),
+            transcendentals=0),
+        interpret=_interpret(),
+    )(x, y, feats)
+    return out[:, :n]
+
+
+def _fwd_rule(feats, x, y, fh, fw, tile):
+    return _forward(feats, x, y, fh, fw, tile), (x, y)
+
+
+def _bwd_rule(fh, fw, tile, res, g):
+    (x, y) = res
+    bv, _, c = g.shape
+    p = fh * fw
+    f_dtype = g.dtype
+    n = x.shape[1]
+    n_pad = _pad_to(n, tile)
+    if n_pad != n:
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n)), constant_values=-10.0)
+        y = jnp.pad(y, ((0, 0), (0, n_pad - n)), constant_values=-10.0)
+        g = jnp.pad(g, ((0, 0), (0, n_pad - n), (0, 0)))
+    tiles = n_pad // tile
+
+    df = pl.pallas_call(
+        functools.partial(_bwd_kernel, fh=fh, fw=fw),
+        grid=(bv, tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile), lambda b, t: (b, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda b, t: (b, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, p, c), lambda b, t: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bv, p, c), f_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bv * n_pad * p * c,
+            bytes_accessed=bv * (p * c * 4 + n_pad * (8 + c * 4)),
+            transcendentals=0),
+        interpret=_interpret(),
+    )(x, y, g.astype(f_dtype))
+    return df, None, None
+
+
+bilinear_gather.defvjp(_fwd_rule, _bwd_rule)
+
+
+def unproject_features_pallas(feats, Rcam, Kmat, image_shape, grid_pts,
+                              grid_shape, tile=DEFAULT_TILE):
+    """Drop-in Pallas replacement for ops.projection.unproject_features.
+
+    feats: [B, V, fh, fw, C]; Rcam: [B, V, 3, 4]; Kmat: [B, 3, 3];
+    grid_pts: [4, N]; grid_shape: (nx, ny, nz).
+    Returns [B, V, nx, ny, nz, C].
+    """
+    from ..ops.projection import _to_hom4, pose_inverse
+
+    b, v, fh, fw, c = feats.shape
+    nx, ny, nz = grid_shape
+    rsz_h = fh / float(image_shape[0])
+    rsz_w = fw / float(image_shape[1])
+
+    w2c = pose_inverse(Rcam)
+    KR = jnp.einsum("bij,bvjk->bvik", Kmat, w2c)
+    pose0 = _to_hom4(Rcam[:, 0])
+    M = jnp.einsum("bvij,bjk->bvik", KR, pose0)
+    uvw = jnp.einsum("bvij,jn->bvin", M, grid_pts)
+    z = uvw[:, :, 2]
+    x = (uvw[:, :, 0] / z * rsz_w).reshape(b * v, -1)
+    y = (uvw[:, :, 1] / z * rsz_h).reshape(b * v, -1)
+
+    flat = feats.reshape(b * v, fh * fw, c)
+    out = bilinear_gather(flat, x, y, fh, fw, tile)
+    return out.reshape(b, v, nx, ny, nz, c)

@@ -269,14 +269,21 @@ class MaskRCNN(nn.Module):
                                  name="depth_collapse")
         method = ("trilinear" if getattr(cfg, "TRILINEAR_REPROJECTION", False)
                   else "nearest")
+        use_pallas = getattr(cfg, "USE_PALLAS", False) and \
+            jax.default_backend() in ("tpu", "axon")
+        if use_pallas:
+            from ..kernels.unproject_pallas import unproject_features_pallas
+            unproject = unproject_features_pallas
+        else:
+            unproject = unproject_features
         out, zeros = [], set()
         for li, p in enumerate(levels):
             if li in (0, 1):                      # PG2/PG3 memory cap
                 out.append(jnp.zeros_like(p[:, 0]))
                 zeros.add(li)
                 continue
-            vox = unproject_features(p, batch["Rcam"], batch["Kmat"],
-                                     image_shape, grid_pts, grid_shape)
+            vox = unproject(p, batch["Rcam"], batch["Kmat"],
+                            image_shape, grid_pts, grid_shape)
             fused = fusion(vox)
             s = p.shape[2]                        # square feature maps
             rays = project_grid(fused.astype(jnp.float32),

@@ -1,20 +1,22 @@
-"""Test harness: force an 8-device virtual CPU mesh so DP/view-sharding is
-testable without TPU hardware (SURVEY.md §4)."""
+"""Test harness: force a local 8-device virtual CPU mesh.
+
+The environment's sitecustomize registers the `axon` remote-TPU plugin and
+sets jax_platforms="axon,cpu" via jax.config in EVERY python process —
+env-var JAX_PLATFORMS is overridden. Tests must run on local CPU (the
+remote tunnel serializes processes and compiles remotely), so we re-update
+the config after import, before any backend initializes.
+"""
 
 import os
 
-# FORCE cpu: the environment ships JAX_PLATFORMS=axon (remote TPU tunnel
-# with remote compile); tests must run on the local virtual CPU mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # belt and braces
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -110,11 +110,11 @@ def test_sgd_momentum_step():
 
 def test_lr_schedule():
     fn = lr_schedule(0.001, [(301, 0.001), (4001, 0.001), (4501, 0.0001)])
-    assert float(fn(0)) == 0.001
-    assert float(fn(300)) == 0.001
-    assert float(fn(301)) == 0.001
-    assert float(fn(4001)) == 0.0001
-    assert float(fn(4500)) == 0.0001
+    np.testing.assert_allclose(float(fn(0)), 0.001, rtol=1e-6)
+    np.testing.assert_allclose(float(fn(300)), 0.001, rtol=1e-6)
+    np.testing.assert_allclose(float(fn(301)), 0.001, rtol=1e-6)
+    np.testing.assert_allclose(float(fn(4001)), 0.0001, rtol=1e-6)
+    np.testing.assert_allclose(float(fn(4500)), 0.0001, rtol=1e-6)
 
 
 def test_checkpoint_roundtrip(tmp_path):
