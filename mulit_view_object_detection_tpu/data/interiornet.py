@@ -137,22 +137,18 @@ class InteriorNetDataset(Dataset):
         """Masks from <frame>_instance.png + <frame>_nyu.png
         (interior_multi.py:218-268)."""
         import imageio.v2 as imageio
+
+        from .native import extract_instances
         info = self.image_info[image_id]
         base = os.path.join(self.dataset_dir, info["subfolder"],
                             self.label_path, str(info["image_sub_id"]))
         instance_im = np.asarray(imageio.imread(base + "_instance.png"))
         nyu_im = np.asarray(imageio.imread(base + "_nyu.png"))
-        instance_masks, class_ids = [], []
-        for instance_id in np.unique(instance_im):
-            binary_mask = instance_im == instance_id
-            nyu_class = int(nyu_im[binary_mask][0])
-            sel = self.NYU40_to_sel_map.get(nyu_class, 0)
-            if sel != 0:
-                class_ids.append(sel)
-                instance_masks.append(binary_mask)
-        if class_ids:
-            return (np.stack(instance_masks, axis=2).astype(bool),
-                    np.array(class_ids, dtype=np.int32))
+        # one-pass C++ extraction (native/maskops.cpp); numpy fallback inside
+        masks, class_ids, _ = extract_instances(
+            instance_im, nyu_im, self.NYU40_to_sel_map)
+        if len(class_ids):
+            return np.transpose(masks, (1, 2, 0)), class_ids
         return super().load_mask(image_id)
 
     def load_depth(self, image_id, config):

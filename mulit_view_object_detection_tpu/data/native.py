@@ -1,0 +1,134 @@
+"""ctypes bindings for the C++ data-loader hot loops (native/maskops.cpp).
+
+Compiled lazily with g++ on first use; every entry point has a pure-numpy
+fallback so the framework works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_LIB = None
+_TRIED = False
+
+
+def _native_dir():
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(here, "native")
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    src = os.path.join(_native_dir(), "maskops.cpp")
+    if not os.path.exists(src):
+        return None
+    so_path = os.path.join(tempfile.gettempdir(), "libmaskops.so")
+    try:
+        if (not os.path.exists(so_path)
+                or os.path.getmtime(so_path) < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", so_path, src],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(so_path)
+        lib.extract_instances.restype = ctypes.c_int
+        lib.extract_instances.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+        lib.extract_bboxes.restype = None
+        lib.extract_bboxes.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
+        _LIB = lib
+    except Exception:  # pragma: no cover — toolchain missing
+        log.exception("native maskops unavailable; using numpy fallback")
+        _LIB = None
+    return _LIB
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def extract_instances(instance_im, nyu_im, nyu_map, max_inst=256):
+    """One-pass instance mask extraction.
+
+    instance_im: [H, W] int; nyu_im: [H, W] int; nyu_map: dict or [256]
+    array mapping NYU class -> selected class (0 = drop).
+
+    Returns (masks [N, H, W] bool, class_ids [N] int32, boxes [N, 4] int32).
+    """
+    h, w = instance_im.shape
+    map_arr = np.zeros(256, np.int32)
+    if isinstance(nyu_map, dict):
+        for k, v in nyu_map.items():
+            if 0 <= int(k) < 256:
+                map_arr[int(k)] = v
+    else:
+        map_arr[:len(nyu_map)] = nyu_map
+
+    lib = _load()
+    if lib is not None:
+        inst = np.ascontiguousarray(instance_im, np.int32)
+        nyu = np.ascontiguousarray(nyu_im, np.int32)
+        masks = np.zeros((max_inst, h, w), np.uint8)
+        class_ids = np.zeros(max_inst, np.int32)
+        boxes = np.zeros((max_inst, 4), np.int32)
+        n = lib.extract_instances(
+            _ptr(inst, ctypes.c_int32), _ptr(nyu, ctypes.c_int32), h, w,
+            _ptr(map_arr, ctypes.c_int32), 256,
+            _ptr(masks, ctypes.c_uint8), _ptr(class_ids, ctypes.c_int32),
+            _ptr(boxes, ctypes.c_int32), max_inst)
+        return masks[:n].astype(bool), class_ids[:n], boxes[:n]
+
+    # numpy fallback (reference semantics, interior_multi.py:242-259)
+    masks, class_ids, boxes = [], [], []
+    for instance_id in np.unique(instance_im):
+        binary = instance_im == instance_id
+        nyu_class = int(nyu_im[binary][0])
+        cls = int(map_arr[nyu_class]) if nyu_class < 256 else 0
+        if cls == 0:
+            continue
+        ys, xs = np.where(binary)
+        masks.append(binary)
+        class_ids.append(cls)
+        boxes.append([ys.min(), xs.min(), ys.max() + 1, xs.max() + 1])
+        if len(masks) >= max_inst:
+            break
+    if masks:
+        return (np.stack(masks), np.array(class_ids, np.int32),
+                np.array(boxes, np.int32))
+    return (np.zeros((0, h, w), bool), np.zeros(0, np.int32),
+            np.zeros((0, 4), np.int32))
+
+
+def extract_bboxes(masks):
+    """Tight boxes from [H, W, N] or [N, H, W] bool masks -> [N, 4] int32."""
+    lib = _load()
+    if masks.ndim == 3 and masks.shape[-1] < masks.shape[0]:
+        nhw = np.ascontiguousarray(np.transpose(masks, (2, 0, 1)))
+    else:
+        nhw = np.ascontiguousarray(masks)
+    n, h, w = nhw.shape
+    if lib is not None and n:
+        m8 = nhw.astype(np.uint8)
+        boxes = np.zeros((n, 4), np.int32)
+        lib.extract_bboxes(_ptr(m8, ctypes.c_uint8), n, h, w,
+                           _ptr(boxes, ctypes.c_int32))
+        return boxes
+    from ..ops.boxes import extract_bboxes_np
+    return extract_bboxes_np(np.transpose(nhw, (1, 2, 0)))

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_TILE = 256
+DEFAULT_TILE = 1024
 
 
 def _interpret():
@@ -60,7 +60,9 @@ def _build_w(x, y, fh, fw, p, dtype):
 
 def _fwd_kernel(x_ref, y_ref, f_ref, o_ref, *, fh, fw):
     p = f_ref.shape[1]
-    w = _build_w(x_ref[0], y_ref[0], fh, fw, p, jnp.float32)
+    x = x_ref[0].reshape(-1)
+    y = y_ref[0].reshape(-1)
+    w = _build_w(x, y, fh, fw, p, jnp.float32)
     o_ref[0] = jnp.dot(w, f_ref[0].astype(jnp.float32),
                        preferred_element_type=jnp.float32
                        ).astype(o_ref.dtype)
@@ -74,7 +76,9 @@ def _bwd_kernel(x_ref, y_ref, g_ref, df_ref, *, fh, fw):
     def _():
         df_ref[0] = jnp.zeros_like(df_ref[0])
 
-    w = _build_w(x_ref[0], y_ref[0], fh, fw, p, jnp.float32)
+    x = x_ref[0].reshape(-1)
+    y = y_ref[0].reshape(-1)
+    w = _build_w(x, y, fh, fw, p, jnp.float32)
     df_ref[0] += jnp.dot(w.T, g_ref[0].astype(jnp.float32),
                          preferred_element_type=jnp.float32
                          ).astype(df_ref.dtype)
@@ -92,6 +96,7 @@ def bilinear_gather(feats, x, y, fh, fw, tile=DEFAULT_TILE):
 
 
 def _forward(feats, x, y, fh, fw, tile):
+    assert tile % 128 == 0, "tile must be a multiple of 128 (TPU lanes)"
     bv, p, c = feats.shape
     n = x.shape[1]
     n_pad = _pad_to(n, tile)
@@ -99,14 +104,17 @@ def _forward(feats, x, y, fh, fw, tile):
         x = jnp.pad(x, ((0, 0), (0, n_pad - n)), constant_values=-10.0)
         y = jnp.pad(y, ((0, 0), (0, n_pad - n)), constant_values=-10.0)
     tiles = n_pad // tile
+    rows = tile // 128
+    x = x.reshape(bv, n_pad // 128, 128)
+    y = y.reshape(bv, n_pad // 128, 128)
 
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, fh=fh, fw=fw),
         grid=(bv, tiles),
         in_specs=[
-            pl.BlockSpec((1, tile), lambda b, t: (b, t),
+            pl.BlockSpec((1, rows, 128), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda b, t: (b, t),
+            pl.BlockSpec((1, rows, 128), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p, c), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -139,14 +147,17 @@ def _bwd_rule(fh, fw, tile, res, g):
         y = jnp.pad(y, ((0, 0), (0, n_pad - n)), constant_values=-10.0)
         g = jnp.pad(g, ((0, 0), (0, n_pad - n), (0, 0)))
     tiles = n_pad // tile
+    rows = tile // 128
+    x = x.reshape(bv, n_pad // 128, 128)
+    y = y.reshape(bv, n_pad // 128, 128)
 
     df = pl.pallas_call(
         functools.partial(_bwd_kernel, fh=fh, fw=fw),
         grid=(bv, tiles),
         in_specs=[
-            pl.BlockSpec((1, tile), lambda b, t: (b, t),
+            pl.BlockSpec((1, rows, 128), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda b, t: (b, t),
+            pl.BlockSpec((1, rows, 128), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, c), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),

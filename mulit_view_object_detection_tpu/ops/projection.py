@@ -170,7 +170,7 @@ def project_grid(grid, Kmat, image_shape, proj_size, samples, config,
         / (vmax_v - vmin_v)[None, None, :, None] * nvox_v[None, None, :, None]
 
     flat = grid.reshape(b, nx * ny * nz, c)
-    bidx = jnp.arange(b)[:, None, None]
+    bidx = jnp.arange(b)[:, None]
 
     def gather(ix, iy, iz, wgt=None):
         valid = ((ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)

@@ -23,6 +23,7 @@ def generate_proposals(rpn_probs, rpn_deltas, anchors, *, proposal_count,
     Returns proposals [B, proposal_count, 4] in normalized coords,
     zero-padded (reference pads with zeros, model.py:323-326).
     """
+    anchors = jnp.asarray(anchors)
     scores = rpn_probs[:, :, 1]
     deltas = rpn_deltas * jnp.asarray(bbox_std_dev, jnp.float32)
     k = min(pre_nms_limit, anchors.shape[0])

@@ -19,7 +19,7 @@ def test_bilinear_gather_matches_xla(rng):
     y = rng.uniform(-1.0, fh + 0.5, (bv, n)).astype(np.float32)
 
     out = np.asarray(bilinear_gather(jnp.asarray(feats), jnp.asarray(x),
-                                     jnp.asarray(y), fh, fw, tile=16))
+                                     jnp.asarray(y), fh, fw, tile=128))
     # oracle: per-tap OOB-zero bilinear
     expect = np.zeros((bv, n, c), np.float32)
     fmap = feats.reshape(bv, fh, fw, c)
@@ -44,7 +44,7 @@ def test_bilinear_gather_grad_matches_xla(rng):
 
     def loss_pallas(f):
         return jnp.sum(bilinear_gather(f, jnp.asarray(x), jnp.asarray(y),
-                                       fh, fw, tile=16) ** 2)
+                                       fh, fw, tile=128) ** 2)
 
     def loss_xla(f):
         fmap = f.reshape(bv, fh, fw, c)

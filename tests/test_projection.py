@@ -129,6 +129,21 @@ def test_project_grid_single_voxel():
     assert out[0, -1, 8, 8, 0] == 0.0      # deepest sample does not
 
 
+def test_project_grid_batched():
+    """Batch entries are independent (guards the gather broadcasting)."""
+    cfg = VoxCfg()
+    K = np.stack([simple_K(), simple_K()])
+    rng = np.random.RandomState(3)
+    grid = rng.rand(2, 8, 8, 8, 2).astype(np.float32)
+    out = np.asarray(project_grid(jnp.asarray(grid), jnp.asarray(K),
+                                  (64, 64), 8, cfg.samples, cfg))
+    for b in range(2):
+        solo = np.asarray(project_grid(jnp.asarray(grid[b:b + 1]),
+                                       jnp.asarray(K[b:b + 1]),
+                                       (64, 64), 8, cfg.samples, cfg))
+        np.testing.assert_allclose(out[b], solo[0], atol=1e-6)
+
+
 def test_project_grid_trilinear_runs():
     cfg = VoxCfg()
     K = simple_K()
