@@ -240,6 +240,91 @@ class MaskRCNN:
             })
         return results
 
+    def detect_molded(self, molded_images, image_metas, Rcam=None,
+                      Kmat=None, depths=None):
+        """Run detection on already-molded inputs (model.py:2547-2608).
+        molded_images: [B, V, h, w, 3] (or [B, h, w, 3] single-view)."""
+        cfg = self.config
+        state = self._ensure_state()
+        if self._infer_step is None:
+            self._infer_step = make_eval_step(cfg)
+        molded = np.asarray(molded_images, np.float32)
+        if molded.ndim == 4:
+            molded = molded[:, None]
+        b, v = molded.shape[:2]
+        batch = {
+            "images": molded,
+            "image_meta": np.asarray(image_metas, np.float32),
+            "anchors": self.get_anchors(molded.shape[2:]).astype(np.float32),
+            "Rcam": (np.asarray(Rcam, np.float32) if Rcam is not None else
+                     np.tile(np.eye(3, 4, dtype=np.float32), (b, v, 1, 1))),
+            "Kmat": (np.asarray(Kmat, np.float32) if Kmat is not None else
+                     np.tile(np.eye(3, dtype=np.float32), (b, 1, 1))),
+        }
+        if cfg.TRANSFORMER:
+            batch["depths"] = np.asarray(depths, np.float32)
+        outputs = self._infer_step(state, batch)
+        detections = np.asarray(outputs["detections"])
+        mrcnn_masks = np.asarray(outputs["mrcnn_masks"])
+        results = []
+        metas = np.asarray(image_metas)
+        for i in range(b):
+            original_shape = metas[i, 1:4].astype(int)
+            window = metas[i, 7:11].astype(int)
+            rois, class_ids, scores, masks = self.unmold_detections(
+                detections[i], mrcnn_masks[i], tuple(original_shape),
+                molded.shape[2:5], window)
+            results.append({"rois": rois, "class_ids": class_ids,
+                            "scores": scores, "masks": masks})
+        return results
+
+    def run_graph(self, images, outputs=None, Rcam=None, Kmat=None,
+                  depths=None):
+        """Partial-graph debugger (model_multi.py:3213-3271): run inference
+        and return the named intermediate tensors. `outputs` is a list of
+        keys from the model's output dict (e.g. 'proposals', 'rpn_probs',
+        'detections'); None returns everything."""
+        cfg = self.config
+        state = self._ensure_state()
+        if self._infer_step is None:
+            self._infer_step = make_eval_step(cfg)
+        batch_images = []
+        metas = None
+        for item in images:
+            views = np.asarray(item)
+            if views.ndim == 3:
+                views = views[None]
+            molded, m, _ = self.mold_inputs(list(views))
+            batch_images.append(molded)
+            metas = m[:1] if metas is None else np.concatenate([metas, m[:1]])
+        molded = np.stack(batch_images)
+        b, v = molded.shape[:2]
+        batch = {
+            "images": molded.astype(np.float32),
+            "image_meta": metas.astype(np.float32),
+            "anchors": self.get_anchors(molded.shape[2:]).astype(np.float32),
+            "Rcam": (np.asarray(Rcam, np.float32) if Rcam is not None else
+                     np.tile(np.eye(3, 4, dtype=np.float32), (b, v, 1, 1))),
+            "Kmat": (np.asarray(Kmat, np.float32) if Kmat is not None else
+                     np.tile(np.eye(3, dtype=np.float32), (b, 1, 1))),
+        }
+        if cfg.TRANSFORMER:
+            batch["depths"] = np.asarray(depths, np.float32)
+        result = self._infer_step(state, batch)
+        result = {k: np.asarray(v_) for k, v_ in result.items()}
+        if outputs is not None:
+            result = {k: result[k] for k in outputs}
+        return result
+
+    def get_imagenet_weights(self):
+        """The reference downloads keras ImageNet ResNet weights
+        (model.py:2644-2656). This build environment has no egress; point
+        load_weights at a local h5/checkpoint instead."""
+        raise NotImplementedError(
+            "No network egress in this environment. Download the Matterport "
+            "COCO h5 or keras ResNet ImageNet h5 elsewhere and use "
+            "utils.h5_import.load_h5_weights / MaskRCNN.load_weights.")
+
     # ------------------------------------------------------------------ #
     # training
     # ------------------------------------------------------------------ #

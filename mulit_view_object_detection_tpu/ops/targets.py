@@ -26,7 +26,8 @@ from .boxes import (box_refinement, box_refinement_np, compute_overlaps_np,
 from .roi_align import crop_and_resize_pairs
 
 _NEG_INF = -1e9
-_DUMMY_BOX = jnp.array([0.0, 0.0, 1.0, 1.0])
+# numpy (not jnp): module import must not create device arrays
+_DUMMY_BOX = np.array([0.0, 0.0, 1.0, 1.0], np.float32)
 
 
 def detection_targets(rng, proposals, gt_class_ids, gt_boxes, gt_masks, *,
