@@ -67,24 +67,24 @@ def main():
         out = model.apply(variables, batch, training=False)
         return out["detections"], out["mrcnn_masks"]
 
-    # two distinct input batches to defeat any result caching in the runtime
-    batch2 = dict(batch)
-    batch2["images"] = jax.device_put(
-        rng.randn(*batch["images"].shape).astype(np.float32) * 50.0)
-
     # warmup/compile
     det, masks = infer(variables, batch)
     _ = np.asarray(det)
 
     # NOTE: block_until_ready through the remote-TPU relay acks before the
     # computation finishes (measured: "sync" steps implying >1.5x peak FLOPs
-    # and >10x HBM bandwidth). Forcing a device->host fetch of the (tiny,
-    # 2.4 KB) detections each step makes the timing honest.
+    # and >10x HBM bandwidth), so timing must force a device->host VALUE
+    # fetch. To amortize the relay round trip, steps are dependency-chained
+    # (each input depends on the previous detections) and only the final
+    # result is fetched — all iters must really execute.
+    images0 = batch["images"]
     iters = 20
     t0 = time.perf_counter()
     for i in range(iters):
-        det, masks = infer(variables, batch if i % 2 == 0 else batch2)
-        _ = np.asarray(det)
+        chained = dict(batch)
+        chained["images"] = images0 + det[0, 0, 0] * 0.0
+        det, masks = infer(variables, chained)
+    _ = np.asarray(det)
     dt = time.perf_counter() - t0
 
     frames = iters * cfg.BATCH_SIZE  # main-view frames detected

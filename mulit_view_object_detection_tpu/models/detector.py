@@ -272,6 +272,7 @@ class MaskRCNN(nn.Module):
         use_pallas = getattr(cfg, "USE_PALLAS", False) and \
             jax.default_backend() in ("tpu", "axon")
         if use_pallas:
+            from ..kernels.reproject_pallas import project_grid_pallas
             from ..kernels.unproject_pallas import unproject_features_pallas
             unproject = unproject_features_pallas
         else:
@@ -286,9 +287,14 @@ class MaskRCNN(nn.Module):
                             image_shape, grid_pts, grid_shape)
             fused = fusion(vox)
             s = p.shape[2]                        # square feature maps
-            rays = project_grid(fused.astype(jnp.float32),
-                                batch["Kmat"], image_shape, s, cfg.samples,
-                                cfg, method=method)
+            if use_pallas and method == "nearest":
+                rays = project_grid_pallas(
+                    fused.astype(jnp.float32), batch["Kmat"], image_shape,
+                    s, cfg.samples, cfg)
+            else:
+                rays = project_grid(fused.astype(jnp.float32),
+                                    batch["Kmat"], image_shape, s,
+                                    cfg.samples, cfg, method=method)
             out.append(collapse(rays.astype(dtype)))
         return out, zeros
 

@@ -69,6 +69,47 @@ def test_bilinear_gather_grad_matches_xla(rng):
     np.testing.assert_allclose(g_pallas, g_xla, atol=1e-4)
 
 
+def test_project_grid_pallas_matches_reference(rng):
+    from mulit_view_object_detection_tpu.kernels.reproject_pallas import (
+        project_grid_pallas)
+    from mulit_view_object_detection_tpu.ops.projection import project_grid
+
+    cfg = VoxCfg()
+    K = np.stack([simple_K(), simple_K(f=70.0, c=30.0)])
+    grid = rng.rand(2, 8, 8, 8, 4).astype(np.float32)
+    for s in (16, 8):
+        ref = np.asarray(project_grid(jnp.asarray(grid), jnp.asarray(K),
+                                      (64, 64), s, cfg.samples, cfg))
+        got = np.asarray(project_grid_pallas(
+            jnp.asarray(grid), jnp.asarray(K), (64, 64), s, cfg.samples,
+            cfg, tile=128))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_project_grid_pallas_grad(rng):
+    from mulit_view_object_detection_tpu.kernels.reproject_pallas import (
+        project_grid_pallas)
+    from mulit_view_object_detection_tpu.ops.projection import project_grid
+
+    cfg = VoxCfg()
+    K = simple_K()[None]
+    grid = rng.rand(1, 8, 8, 8, 2).astype(np.float32)
+    tgt = rng.rand(1, cfg.samples, 8, 8, 2).astype(np.float32)
+
+    def loss_p(g):
+        out = project_grid_pallas(g, jnp.asarray(K), (64, 64), 8,
+                                  cfg.samples, cfg, tile=128)
+        return jnp.sum((out - tgt) ** 2)
+
+    def loss_x(g):
+        out = project_grid(g, jnp.asarray(K), (64, 64), 8, cfg.samples, cfg)
+        return jnp.sum((out - tgt) ** 2)
+
+    gp = np.asarray(jax.grad(loss_p)(jnp.asarray(grid)))
+    gx = np.asarray(jax.grad(loss_x)(jnp.asarray(grid)))
+    np.testing.assert_allclose(gp, gx, atol=1e-4)
+
+
 def test_unproject_pallas_matches_reference(rng):
     cfg = VoxCfg()
     K = simple_K()
