@@ -41,7 +41,10 @@ def _fwd_kernel(iz_ref, x_ref, y_ref, slice_ref, o_ref, *, nx, ny):
     valid = ((ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) & z_ok)
     idx = jnp.clip(ix, 0, nx - 1) * ny + jnp.clip(iy, 0, ny - 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (t, q), 1)
-    w = ((col == idx[:, None]) & valid[:, None]).astype(jnp.float32)
+    # Mosaic cannot reshape i1 vectors: lift the mask to f32 BEFORE the
+    # minor-dim broadcast
+    w = ((col == idx[:, None]).astype(jnp.float32)
+         * valid.astype(jnp.float32)[:, None])
     o_ref[0, 0] = jnp.dot(w, slice_ref[0, 0].astype(jnp.float32),
                           preferred_element_type=jnp.float32
                           ).astype(o_ref.dtype)
@@ -71,7 +74,10 @@ def _bwd_kernel(iz_ref, x_ref, y_ref, g_ref, dg_ref, *, nx, ny, n_s):
     valid = ((ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) & z_ok)
     idx = jnp.clip(ix, 0, nx - 1) * ny + jnp.clip(iy, 0, ny - 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (t, q), 1)
-    w = ((col == idx[:, None]) & valid[:, None]).astype(jnp.float32)
+    # Mosaic cannot reshape i1 vectors: lift the mask to f32 BEFORE the
+    # minor-dim broadcast
+    w = ((col == idx[:, None]).astype(jnp.float32)
+         * valid.astype(jnp.float32)[:, None])
     dg_ref[0, 0] += jnp.dot(w.T, g_ref[0, 0].astype(jnp.float32),
                             preferred_element_type=jnp.float32
                             ).astype(dg_ref.dtype)
