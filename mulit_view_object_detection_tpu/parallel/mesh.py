@@ -29,7 +29,8 @@ def make_mesh(data=None, view=1, devices=None):
     n = len(devices)
     if data is None:
         data = n // view
-    assert data * view == n, f"mesh {data}x{view} != {n} devices"
+    assert data * view <= n, f"mesh {data}x{view} > {n} devices"
+    devices = devices[:data * view]
     dev_array = mesh_utils.create_device_mesh((data, view),
                                               devices=devices)
     return Mesh(dev_array, axis_names=("data", "view"))
