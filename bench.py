@@ -48,6 +48,7 @@ def main():
         vmin_z, vmax_z = 1.0, 10.0
         samples = 20
         COMPUTE_DTYPE = "bfloat16"
+        USE_PALLAS = os.environ.get("BENCH_USE_PALLAS", "1") == "1"
 
     cfg = BenchConfig()
     model = MaskRCNN(cfg)

@@ -57,6 +57,31 @@ def test_class_gated_nms_equals_per_class(rng):
     assert got == expect
 
 
+def test_fixed_point_nms_equals_sequential(rng):
+    """Property test: the MXU fixed-point NMS == the direct greedy loop,
+    with and without class gating, across many random instances."""
+    from mulit_view_object_detection_tpu.ops.nms import nms_sequential
+
+    for trial in range(10):
+        n = 48
+        boxes = random_boxes(rng, n)
+        scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+        class_ids = rng.randint(1, 4, n)
+        valid = rng.rand(n) > 0.2
+        for cls in (None, jnp.asarray(class_ids)):
+            a_idx, a_val = nms(jnp.asarray(boxes), jnp.asarray(scores), 20,
+                               0.45, valid_mask=jnp.asarray(valid),
+                               class_ids=cls)
+            b_idx, b_val = nms_sequential(
+                jnp.asarray(boxes), jnp.asarray(scores), 20, 0.45,
+                valid_mask=jnp.asarray(valid), class_ids=cls)
+            np.testing.assert_array_equal(np.asarray(a_val),
+                                          np.asarray(b_val))
+            np.testing.assert_array_equal(
+                np.asarray(a_idx)[np.asarray(a_val)],
+                np.asarray(b_idx)[np.asarray(b_val)])
+
+
 def _crop_and_resize_oracle(image, box, size):
     """Numpy oracle of tf.image.crop_and_resize bilinear semantics."""
     h, w, c = image.shape
