@@ -43,9 +43,13 @@ def _fwd_kernel(iz_ref, x_ref, y_ref, slice_ref, o_ref, *, nx, ny):
     col = jax.lax.broadcasted_iota(jnp.int32, (t, q), 1)
     # Mosaic cannot reshape i1 vectors: lift the mask to f32 BEFORE the
     # minor-dim broadcast
+    # one-hot weights are exactly representable in bf16 -> full-rate MXU
+    mxu_dtype = (jnp.bfloat16 if slice_ref.dtype == jnp.bfloat16
+                 else jnp.float32)
+    # build in f32 (Mosaic minor-dim insertion is 32-bit only), cast once
     w = ((col == idx[:, None]).astype(jnp.float32)
-         * valid.astype(jnp.float32)[:, None])
-    o_ref[0, 0] = jnp.dot(w, slice_ref[0, 0].astype(jnp.float32),
+         * valid.astype(jnp.float32)[:, None]).astype(mxu_dtype)
+    o_ref[0, 0] = jnp.dot(w, slice_ref[0, 0].astype(mxu_dtype),
                           preferred_element_type=jnp.float32
                           ).astype(o_ref.dtype)
 
@@ -76,9 +80,11 @@ def _bwd_kernel(iz_ref, x_ref, y_ref, g_ref, dg_ref, *, nx, ny, n_s):
     col = jax.lax.broadcasted_iota(jnp.int32, (t, q), 1)
     # Mosaic cannot reshape i1 vectors: lift the mask to f32 BEFORE the
     # minor-dim broadcast
+    mxu_dtype = (jnp.bfloat16 if g_ref.dtype == jnp.bfloat16
+                 else jnp.float32)
     w = ((col == idx[:, None]).astype(jnp.float32)
-         * valid.astype(jnp.float32)[:, None])
-    dg_ref[0, 0] += jnp.dot(w.T, g_ref[0, 0].astype(jnp.float32),
+         * valid.astype(jnp.float32)[:, None]).astype(mxu_dtype)
+    dg_ref[0, 0] += jnp.dot(w.T, g_ref[0, 0].astype(mxu_dtype),
                             preferred_element_type=jnp.float32
                             ).astype(dg_ref.dtype)
 

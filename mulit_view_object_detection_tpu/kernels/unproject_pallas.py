@@ -45,25 +45,31 @@ def _build_w(x, y, fh, fw, p, dtype):
     x0 = x0f.astype(jnp.int32)
     y0 = y0f.astype(jnp.int32)
     col = jax.lax.broadcasted_iota(jnp.int32, (t, p), 1)
-    w = jnp.zeros((t, p), dtype)
+    # Mosaic only supports minor-dim insertion ([:, None]) on 32-bit types:
+    # accumulate in f32, cast to the MXU dtype once at the end.
+    w = jnp.zeros((t, p), jnp.float32)
     for dy, wy in ((0, 1 - ly), (1, ly)):
         for dx, wx in ((0, 1 - lx), (1, lx)):
             xi = x0 + dx
             yi = y0 + dy
             valid = (xi >= 0) & (xi < fw) & (yi >= 0) & (yi < fh)
-            wgt = (wx * wy * valid).astype(dtype)
+            wgt = (wx * wy * valid).astype(jnp.float32)
             idx = (jnp.clip(yi, 0, fh - 1) * fw
                    + jnp.clip(xi, 0, fw - 1))
-            w = w + (col == idx[:, None]).astype(dtype) * wgt[:, None]
-    return w
+            w = w + (col == idx[:, None]).astype(jnp.float32) * wgt[:, None]
+    return w.astype(dtype)
 
 
 def _fwd_kernel(x_ref, y_ref, f_ref, o_ref, *, fh, fw):
+    # bf16 inputs ride the MXU at full rate; W in the feature dtype (weight
+    # quantization ~= bf16 activation precision), accumulate in f32
     p = f_ref.shape[1]
     x = x_ref[0].reshape(-1)
     y = y_ref[0].reshape(-1)
-    w = _build_w(x, y, fh, fw, p, jnp.float32)
-    o_ref[0] = jnp.dot(w, f_ref[0].astype(jnp.float32),
+    mxu_dtype = (jnp.bfloat16 if f_ref.dtype == jnp.bfloat16
+                 else jnp.float32)
+    w = _build_w(x, y, fh, fw, p, mxu_dtype)
+    o_ref[0] = jnp.dot(w, f_ref[0].astype(mxu_dtype),
                        preferred_element_type=jnp.float32
                        ).astype(o_ref.dtype)
 
@@ -78,8 +84,10 @@ def _bwd_kernel(x_ref, y_ref, g_ref, df_ref, *, fh, fw):
 
     x = x_ref[0].reshape(-1)
     y = y_ref[0].reshape(-1)
-    w = _build_w(x, y, fh, fw, p, jnp.float32)
-    df_ref[0] += jnp.dot(w.T, g_ref[0].astype(jnp.float32),
+    mxu_dtype = (jnp.bfloat16 if g_ref.dtype == jnp.bfloat16
+                 else jnp.float32)
+    w = _build_w(x, y, fh, fw, p, mxu_dtype)
+    df_ref[0] += jnp.dot(w.T, g_ref[0].astype(mxu_dtype),
                          preferred_element_type=jnp.float32
                          ).astype(df_ref.dtype)
 

@@ -288,9 +288,9 @@ class MaskRCNN(nn.Module):
             fused = fusion(vox)
             s = p.shape[2]                        # square feature maps
             if use_pallas and method == "nearest":
+                # keep bf16: the one-hot gather is exact in any dtype
                 rays = project_grid_pallas(
-                    fused.astype(jnp.float32), batch["Kmat"], image_shape,
-                    s, cfg.samples, cfg)
+                    fused, batch["Kmat"], image_shape, s, cfg.samples, cfg)
             else:
                 rays = project_grid(fused.astype(jnp.float32),
                                     batch["Kmat"], image_shape, s,
