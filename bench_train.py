@@ -1,0 +1,108 @@
+"""Training-step benchmark (BASELINE.json config #5's step-time metric):
+one full multi-view training step — forward with on-device target
+sampling, five losses, backward, SGD update — at the reference's
+InteriorNet config. Prints ONE JSON line like bench.py.
+
+The reference's cost proxy is its schedule: 100 steps/epoch x 4501 epochs
+at batch 1 (interior_multi.py:376-377); no step time is published
+(BASELINE.md), so vs_baseline uses the same documented estimate basis as
+bench.py (~1.0 train step/sec for TF1 on one GPU).
+"""
+
+import functools
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_STEPS_PER_SEC = 1.0  # see BENCH_NOTES.md
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from mulit_view_object_detection_tpu.config import Config
+    from mulit_view_object_detection_tpu.models.detector import (
+        MaskRCNN, make_dummy_batch)
+    from mulit_view_object_detection_tpu.train.step import (
+        create_train_state, make_train_step)
+
+    class TrainBench(Config):
+        NAME = "bench_train"
+        NUM_CLASSES = 23
+        NUM_VIEWS = 2
+        BACKBONE = "resnet50"
+        TOP_DOWN_PYRAMID_SIZE = 64
+        GRID_REAS = "conv3d"
+        IMAGE_MIN_DIM = 640
+        IMAGE_MAX_DIM = 640
+        PRE_NMS_LIMIT = 1500
+        POST_NMS_ROIS_TRAINING = 500
+        TRAIN_ROIS_PER_IMAGE = 200
+        DETECTION_MAX_INSTANCES = 100
+        MAX_GT_INSTANCES = 100
+        nvox = 40
+        nvox_z = 40
+        vmin, vmax = -2.5, 2.5
+        vmin_z, vmax_z = 1.0, 10.0
+        samples = 20
+        COMPUTE_DTYPE = "bfloat16"
+
+    cfg = TrainBench()
+    model = MaskRCNN(cfg)
+    batch = make_dummy_batch(cfg, training=True)
+    rng = np.random.RandomState(0)
+    batch["images"] = rng.randn(*batch["images"].shape).astype(
+        np.float32) * 50.0
+    batch["gt_class_ids"][:, :3] = [1, 2, 3]
+    batch["gt_boxes"][:, 0] = [0.2, 0.2, 0.5, 0.5]
+    batch["gt_boxes"][:, 1] = [0.5, 0.5, 0.8, 0.8]
+    batch["gt_boxes"][:, 2] = [0.3, 0.55, 0.6, 0.9]
+    batch["gt_masks"][:, :3] = 1.0
+    a = batch["anchors"].shape[0]
+    batch["rpn_match"] = np.zeros((cfg.BATCH_SIZE, a), np.int32)
+    batch["rpn_match"][:, :32] = 1
+    batch["rpn_match"][:, 32:256] = -1
+    batch["rpn_bbox"] = np.zeros(
+        (cfg.BATCH_SIZE, cfg.RPN_TRAIN_ANCHORS_PER_IMAGE, 4), np.float32)
+    batch = {k: jax.device_put(v) for k, v in batch.items()}
+
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
+    train_step = make_train_step(cfg, stage="all", donate=False)
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def train_loop(state, batch, iters):
+        def body(i, carry):
+            st, rng_ = carry
+            rng_, step_rng = jax.random.split(rng_)
+            st, _ = train_step(st, batch, step_rng)
+            return st, rng_
+
+        return lax.fori_loop(0, iters, body, (state, jax.random.PRNGKey(7)))
+
+    def run(iters):
+        t0 = time.perf_counter()
+        st, _ = train_loop(state, batch, iters)
+        _ = np.asarray(st.step)
+        return time.perf_counter() - t0
+
+    run(1)
+    run(6)
+    t1 = run(1)
+    t6 = run(6)
+    ms = (t6 - t1) / 5 * 1e3
+    sps = 1e3 / ms
+    print(json.dumps({
+        "metric": "multiview_train_step_2view_640_conv3d",
+        "value": round(sps, 3),
+        "unit": "steps/sec/chip",
+        "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

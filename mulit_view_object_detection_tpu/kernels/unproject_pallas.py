@@ -185,8 +185,17 @@ def _bwd_rule(fh, fw, tile, res, g):
 bilinear_gather.defvjp(_fwd_rule, _bwd_rule)
 
 
+def auto_tile(p, vmem_budget=7 * 1024 * 1024):
+    """Voxel-tile size: as large as the W [tile, P] f32 buffer allows
+    (fewer grid steps amortize per-tile DMA/sync overhead — measured to
+    dominate for small-P levels)."""
+    t = vmem_budget // (p * 4)
+    t = max(1024, min(8192, (t // 1024) * 1024))
+    return t
+
+
 def unproject_features_pallas(feats, Rcam, Kmat, image_shape, grid_pts,
-                              grid_shape, tile=DEFAULT_TILE):
+                              grid_shape, tile=None):
     """Drop-in Pallas replacement for ops.projection.unproject_features.
 
     feats: [B, V, fh, fw, C]; Rcam: [B, V, 3, 4]; Kmat: [B, 3, 3];
@@ -210,5 +219,7 @@ def unproject_features_pallas(feats, Rcam, Kmat, image_shape, grid_pts,
     y = (uvw[:, :, 1] / z * rsz_h).reshape(b * v, -1)
 
     flat = feats.reshape(b * v, fh * fw, c)
+    if tile is None:
+        tile = auto_tile(fh * fw)
     out = bilinear_gather(flat, x, y, fh, fw, tile)
     return out.reshape(b, v, nx, ny, nz, c)
