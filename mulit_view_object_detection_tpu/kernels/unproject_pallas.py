@@ -185,13 +185,17 @@ def _bwd_rule(fh, fw, tile, res, g):
 bilinear_gather.defvjp(_fwd_rule, _bwd_rule)
 
 
-def auto_tile(p, vmem_budget=7 * 1024 * 1024):
-    """Voxel-tile size: as large as the W [tile, P] f32 buffer allows
-    (fewer grid steps amortize per-tile DMA/sync overhead — measured to
-    dominate for small-P levels)."""
-    t = vmem_budget // (p * 4)
-    t = max(1024, min(8192, (t // 1024) * 1024))
-    return t
+def auto_tile(p):
+    """Voxel-tile size: as large as VMEM allows (fewer grid steps amortize
+    per-tile DMA/sync overhead — measured to dominate for small-P levels).
+    Kernel temporaries (iota + compare + W) cost ~3x the W [tile, P] f32
+    bytes; keep tile*P <= ~1.6M elements (empirically fits the 16 MB
+    scoped-vmem limit at P=1600/tile=1024)."""
+    if p >= 1024:
+        return 1024
+    if p >= 256:
+        return 2048
+    return 4096
 
 
 def unproject_features_pallas(feats, Rcam, Kmat, image_shape, grid_pts,

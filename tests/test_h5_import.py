@@ -1,0 +1,134 @@
+"""h5 weight importer test against a synthetically constructed keras-layout
+h5 file (the real mask_rcnn_coco.h5 is not downloadable in this
+environment; the layout mirrors keras save_weights: model_weights/<layer>/
+<layer>/<weight>:0)."""
+
+import h5py
+import jax
+import numpy as np
+import pytest
+
+from mulit_view_object_detection_tpu.config import Config
+from mulit_view_object_detection_tpu.models.detector import (
+    MaskRCNN, make_dummy_batch)
+from mulit_view_object_detection_tpu.utils.h5_import import load_h5_weights
+
+
+class H5Cfg(Config):
+    NAME = "h5cfg"
+    NUM_CLASSES = 4
+    NUM_VIEWS = 1
+    BACKBONE = "resnet50"
+    TOP_DOWN_PYRAMID_SIZE = 32
+    FPN_CLASSIF_FC_LAYERS_SIZE = 64
+    IMAGE_MIN_DIM = 64
+    IMAGE_MAX_DIM = 64
+    RPN_ANCHOR_SCALES = (8, 16, 32, 64, 128)
+    PRE_NMS_LIMIT = 128
+    POST_NMS_ROIS_INFERENCE = 16
+    DETECTION_MAX_INSTANCES = 8
+    MAX_GT_INSTANCES = 8
+
+
+@pytest.fixture(scope="module")
+def model_vars():
+    cfg = H5Cfg()
+    model = MaskRCNN(cfg)
+    batch = make_dummy_batch(cfg, training=False)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    return model.init(rngs, batch, training=False)
+
+
+def _write_keras_h5(path, entries):
+    """entries: {layer_name: {weight_name: array}}."""
+    with h5py.File(path, "w") as f:
+        g = f.create_group("model_weights")
+        for layer, weights in entries.items():
+            lg = g.create_group(layer).create_group(layer)
+            for wname, arr in weights.items():
+                lg.create_dataset(f"{wname}:0", data=arr)
+
+
+def test_h5_import_maps_layers(model_vars, tmp_path):
+    params = model_vars["params"]
+    batch_stats = model_vars["batch_stats"]
+
+    conv1_shape = np.asarray(
+        params["backbone"]["conv1"]["kernel"]).shape     # (7,7,3,64)
+    res2a_shape = np.asarray(
+        params["backbone"]["res2a"]["conv2a"]["kernel"]).shape
+    fpn_shape = np.asarray(params["fpn"]["fpn_c5p5"]["kernel"]).shape
+    rpn_shape = np.asarray(
+        params["rpn"]["rpn_conv_shared"]["kernel"]).shape
+    cls_shape = np.asarray(
+        params["classifier_head"]["mrcnn_class_logits"]["kernel"]).shape
+    deconv_shape = np.asarray(
+        params["mask_head"]["mrcnn_mask_deconv"]["kernel"]).shape
+
+    rng = np.random.RandomState(0)
+    entries = {
+        "conv1": {"kernel": rng.randn(*conv1_shape).astype(np.float32),
+                  "bias": rng.randn(conv1_shape[-1]).astype(np.float32)},
+        "bn_conv1": {
+            "gamma": rng.rand(64).astype(np.float32),
+            "beta": rng.randn(64).astype(np.float32),
+            "moving_mean": rng.randn(64).astype(np.float32),
+            "moving_variance": rng.rand(64).astype(np.float32),
+        },
+        "res2a_branch2a": {
+            "kernel": rng.randn(*res2a_shape).astype(np.float32),
+            "bias": rng.randn(res2a_shape[-1]).astype(np.float32)},
+        "fpn_c5p5": {"kernel": rng.randn(*fpn_shape).astype(np.float32),
+                     "bias": rng.randn(fpn_shape[-1]).astype(np.float32)},
+        "rpn_conv_shared": {
+            "kernel": rng.randn(*rpn_shape).astype(np.float32),
+            "bias": rng.randn(rpn_shape[-1]).astype(np.float32)},
+        "mrcnn_class_logits": {
+            "kernel": rng.randn(*cls_shape).astype(np.float32),
+            "bias": rng.randn(cls_shape[-1]).astype(np.float32)},
+        # keras Conv2DTranspose stores [kh, kw, OUT, IN]
+        "mrcnn_mask_deconv": {
+            "kernel": rng.randn(deconv_shape[0], deconv_shape[1],
+                                deconv_shape[3], deconv_shape[2]
+                                ).astype(np.float32),
+            "bias": rng.randn(deconv_shape[3]).astype(np.float32)},
+        "some_unknown_layer": {"kernel": np.zeros((1, 1, 1, 1), np.float32)},
+    }
+    path = str(tmp_path / "w.h5")
+    _write_keras_h5(path, entries)
+
+    new_params, new_bs, report = load_h5_weights(path, params, batch_stats)
+
+    np.testing.assert_array_equal(
+        new_params["backbone"]["conv1"]["kernel"],
+        entries["conv1"]["kernel"])
+    np.testing.assert_array_equal(
+        new_params["backbone"]["res2a"]["conv2a"]["kernel"],
+        entries["res2a_branch2a"]["kernel"])
+    np.testing.assert_array_equal(
+        new_params["backbone"]["bn_conv1"]["BatchNorm_0"]["scale"],
+        entries["bn_conv1"]["gamma"])
+    np.testing.assert_array_equal(
+        new_bs["backbone"]["bn_conv1"]["BatchNorm_0"]["mean"],
+        entries["bn_conv1"]["moving_mean"])
+    np.testing.assert_array_equal(
+        new_params["fpn"]["fpn_c5p5"]["kernel"],
+        entries["fpn_c5p5"]["kernel"])
+    np.testing.assert_array_equal(
+        new_params["rpn"]["rpn_conv_shared"]["kernel"],
+        entries["rpn_conv_shared"]["kernel"])
+    np.testing.assert_array_equal(
+        new_params["classifier_head"]["mrcnn_class_logits"]["kernel"],
+        entries["mrcnn_class_logits"]["kernel"])
+    # deconv transposed into flax layout
+    np.testing.assert_array_equal(
+        new_params["mask_head"]["mrcnn_mask_deconv"]["kernel"],
+        np.transpose(entries["mrcnn_mask_deconv"]["kernel"], (0, 1, 3, 2)))
+    assert "conv1" in report["loaded"]
+    assert "some_unknown_layer" in report["skipped"]
+    # untouched layers keep their init values
+    np.testing.assert_array_equal(
+        new_params["fpn"]["fpn_p2"]["kernel"],
+        np.asarray(params["fpn"]["fpn_p2"]["kernel"]))
