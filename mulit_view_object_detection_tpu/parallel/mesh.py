@@ -84,3 +84,29 @@ def make_parallel_train_step(train_step, mesh, view_sharding=False):
 def replicate_state(state, mesh):
     rep = replicated(mesh)
     return jax.device_put(state, rep)
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Multi-host initialization (DCN across slices, ICI within — the
+    reference has no multi-node story at all, SURVEY.md §2.4). On single-
+    host this is a no-op; on TPU pods the args are auto-detected from the
+    environment when omitted."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    except (ValueError, RuntimeError):
+        pass  # single-process / already initialized
+
+
+def host_local_batch_slice(global_batch_size):
+    """This host's share of the global batch (per-host data loading:
+    each host feeds its local shard of the `data` axis)."""
+    n = jax.process_count()
+    assert global_batch_size % n == 0
+    per = global_batch_size // n
+    start = jax.process_index() * per
+    return slice(start, start + per)
