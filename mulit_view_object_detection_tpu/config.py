@@ -106,6 +106,14 @@ class Config:
     VANILLA = False          # reference semantics are inverted (model_multi.py:2406-2422):
                              # False -> projected multi-view path with PG2/PG3 zeroed,
                              # True  -> bypass projection, use main-view features.
+    ZERO_PG_LEVELS = (0, 1)  # pyramid levels (0=P2) zeroed in multi-view
+                             # modes — the reference's memory cap
+                             # (model_multi.py:2406-2422). NOTE: the FPN
+                             # level-assignment routes ROIs smaller than
+                             # ~224px*(image/1024) to P2/P3, so with the
+                             # faithful default those heads see zeros; set
+                             # () to project every level (costs memory at
+                             # high resolution).
     TRANSFORMER = False      # transformer view fusion on P5 (model_transformer.py:2419-2438)
 
     # Voxel grid (model_multi.py:157-169)

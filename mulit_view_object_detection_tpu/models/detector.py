@@ -246,11 +246,12 @@ class MaskRCNN(nn.Module):
                     zeros.add(li)
             return out, zeros
 
+        zero_levels = set(getattr(cfg, "ZERO_PG_LEVELS", (0, 1)))
         if cfg.VANILLA:
             out, zeros = [], set()
             for li, p in enumerate(levels):
                 main = p[:, 0]
-                if li in (0, 1):                  # P2, P3 zeroed
+                if li in zero_levels:             # P2, P3 by default
                     out.append(jnp.zeros_like(main))
                     zeros.add(li)
                 else:
@@ -279,7 +280,7 @@ class MaskRCNN(nn.Module):
             unproject = unproject_features
         out, zeros = [], set()
         for li, p in enumerate(levels):
-            if li in (0, 1):                      # PG2/PG3 memory cap
+            if li in zero_levels:                 # PG2/PG3 memory cap
                 out.append(jnp.zeros_like(p[:, 0]))
                 zeros.add(li)
                 continue
