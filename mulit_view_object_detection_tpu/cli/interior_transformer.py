@@ -40,7 +40,8 @@ class TransformerInferenceConfig(TransformerConfig):
 
 def _detect_with_depth(model, dataset, config, view_ids):
     views, R = [], np.zeros((1, config.NUM_VIEWS, 3, 4), np.float32)
-    depths = np.zeros((1, config.NUM_VIEWS, 20, 20), np.float32)
+    ds = int(config.IMAGE_SHAPE[0]) // config.BACKBONE_STRIDES[3]
+    depths = np.zeros((1, config.NUM_VIEWS, ds, ds), np.float32)
     for i, vid in enumerate(view_ids):
         im = dataset.load_image(vid)
         im, *_ = resize_image(im, min_dim=config.IMAGE_MIN_DIM,

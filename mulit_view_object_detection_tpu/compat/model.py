@@ -28,7 +28,7 @@ from ..models.detector import MaskRCNN as _Model, make_dummy_batch
 from ..train.checkpoint import (latest_step, restore_checkpoint,
                                 save_checkpoint)
 from ..train.step import (create_train_state, make_eval_step,
-                          make_train_step)
+                          make_train_step, make_val_step)
 
 log = logging.getLogger(__name__)
 
@@ -80,7 +80,7 @@ class MaskRCNN:
     def find_last(self):
         """Newest checkpoint in model_dir (model.py:2073-2100)."""
         dir_names = [d for d in sorted(os.listdir(self.model_dir))
-                     if d.startswith(self.config.NAME.lower() or "")]
+                     if d.startswith((self.config.NAME or "").lower())]
         for d in reversed(dir_names):
             ckpt = os.path.join(self.model_dir, d, "checkpoints")
             if latest_step(ckpt) is not None:
@@ -334,16 +334,35 @@ class MaskRCNN:
         """Stage-wise training loop (model_multi.py:2785-2912): `layers` is
         'heads'|'grid+'|'grid+-'|'grid_only'|'3+'|'4+'|'5+'|'all' or a path
         regex; `epochs` is the TOTAL epoch target (continues from
-        self.epoch)."""
+        self.epoch).
+
+        Each call re-creates the optimizer at `learning_rate` and RESETS
+        momentum — matching the reference, where every train() stage calls
+        keras compile() afresh (model_multi.py:2843-2850), so the stage-3
+        LEARNING_RATE/10 fine-tune really runs 10x slower.
+
+        After every epoch, `VALIDATION_STEPS` batches from `val_dataset`
+        are scored with the same loss graph (no update) and reported as
+        val_* metrics (model_multi.py:2901-2912).
+
+        `augmentation` is a callable (image, mask, rng) -> (image, mask);
+        see data.augment (e.g. data.augment.Fliplr(0.5)).
+        """
         assert self.mode == "training", "Create model in training mode."
         cfg = self.config
         state = self._ensure_state()
+        from ..train.optim import make_optimizer
+        tx = make_optimizer(learning_rate, cfg.LEARNING_MOMENTUM,
+                            cfg.GRADIENT_CLIP_NORM)
+        state = state.replace(tx=tx, opt_state=tx.init(state.params))
         train_step = make_train_step(cfg, stage=layers)
+        val_step = make_val_step(cfg) if val_dataset is not None else None
 
         with_depth = bool(cfg.TRANSFORMER)
         prefetcher = BatchPrefetcher(
             lambda seed: make_batch(train_dataset, cfg, rnd_state=seed,
-                                    with_depth=with_depth),
+                                    with_depth=with_depth,
+                                    augmentation=augmentation),
             num_threads=prefetch_threads)
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         try:
@@ -357,6 +376,18 @@ class MaskRCNN:
                         metrics_acc.setdefault(k_, []).append(float(v_))
                 means = {k_: float(np.mean(v_))
                          for k_, v_ in metrics_acc.items()}
+                if val_step is not None:
+                    val_acc = {}
+                    for vstep in range(cfg.VALIDATION_STEPS):
+                        vbatch = make_batch(val_dataset, cfg,
+                                            rnd_state=epoch * 10007 + vstep,
+                                            with_depth=with_depth)
+                        self._rng, vrng = jax.random.split(self._rng)
+                        vmetrics = val_step(state, vbatch, vrng)
+                        for k_, v_ in vmetrics.items():
+                            val_acc.setdefault(k_, []).append(float(v_))
+                    means.update({f"val_{k_}": float(np.mean(v_))
+                                  for k_, v_ in val_acc.items()})
                 log.info("epoch %d: %s", epoch + 1, means)
                 print(f"epoch {epoch + 1}: " + " ".join(
                     f"{k_}={v_:.4f}" for k_, v_ in sorted(means.items())))

@@ -186,6 +186,21 @@ class Config:
             # FPN needs /64 divisibility (model_multi.py:2327-2332)
             assert self.IMAGE_MAX_DIM % 64 == 0, \
                 "IMAGE_MAX_DIM must be a multiple of 64"
+        if self.TRANSFORMER:
+            # The fused P5 tokens are added back onto the FPN P5 map, so
+            # d_model must equal the pyramid width; the 3-axis sinusoidal
+            # PE splits d_model in 3; attention splits it over heads.
+            assert self.XFORMER_D_MODEL == self.TOP_DOWN_PYRAMID_SIZE, (
+                f"TRANSFORMER fusion requires XFORMER_D_MODEL "
+                f"({self.XFORMER_D_MODEL}) == TOP_DOWN_PYRAMID_SIZE "
+                f"({self.TOP_DOWN_PYRAMID_SIZE}): the fused tokens are "
+                f"added onto P5")
+            assert self.XFORMER_D_MODEL % 3 == 0, (
+                f"XFORMER_D_MODEL ({self.XFORMER_D_MODEL}) must be "
+                f"divisible by 3 (three-axis positional encoding)")
+            assert self.XFORMER_D_MODEL % self.XFORMER_NUM_HEADS == 0, (
+                f"XFORMER_D_MODEL ({self.XFORMER_D_MODEL}) must be "
+                f"divisible by XFORMER_NUM_HEADS ({self.XFORMER_NUM_HEADS})")
 
     def to_dict(self):
         return {

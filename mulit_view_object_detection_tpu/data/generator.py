@@ -28,13 +28,21 @@ from ..ops.anchors import (compute_backbone_shapes, generate_pyramid_anchors)
 from ..ops.boxes import extract_bboxes_np, norm_boxes_np
 from ..ops.image_meta import compose_image_meta
 from ..ops.targets import build_rpn_targets
+from .augment import apply_augmentation
 from .molding import minimize_mask, mold_image, resize_image, resize_mask
 
 log = logging.getLogger(__name__)
 
 
-def load_image_gt(dataset, config, image_id, use_mini_mask=False):
-    """Returns (image, image_meta, class_ids, bbox, mask[H,W,N])."""
+def load_image_gt(dataset, config, image_id, use_mini_mask=False,
+                  augmentation=None, rnd=None):
+    """Returns (image, image_meta, class_ids, bbox, mask[H,W,N]).
+
+    `augmentation` is a callable `(image, mask, rng) -> (image, mask)` —
+    see data.augment for built-ins (the reference takes imgaug pipelines,
+    model_multi.py:1621-1695; GT boxes are re-extracted from the augmented
+    mask either way, so geometry stays consistent).
+    """
     image = dataset.load_image(image_id)
     mask, class_ids = dataset.load_mask(image_id)
     original_shape = image.shape
@@ -48,6 +56,10 @@ def load_image_gt(dataset, config, image_id, use_mini_mask=False):
         mask = resize_mask(mask, scale, padding, crop)
     else:
         mask = np.zeros(image.shape[:2] + (0,), dtype=bool)
+
+    if augmentation is not None:
+        rnd = rnd if rnd is not None else np.random.RandomState()
+        image, mask = apply_augmentation(augmentation, image, mask, rnd)
 
     # drop instances whose mask was cropped away
     _idx = np.sum(mask, axis=(0, 1)) > 0
@@ -68,11 +80,23 @@ def load_image_gt(dataset, config, image_id, use_mini_mask=False):
     return image, image_meta, class_ids, bbox, mask
 
 
+_ANCHOR_CACHE = {}
+
+
 def pixel_anchors(config, image_shape):
-    backbone_shapes = compute_backbone_shapes(config, image_shape)
-    return generate_pyramid_anchors(
-        config.RPN_ANCHOR_SCALES, config.RPN_ANCHOR_RATIOS, backbone_shapes,
-        config.BACKBONE_STRIDES, config.RPN_ANCHOR_STRIDE)
+    """Pixel-space anchor pyramid, cached per (config geometry, image
+    shape) — the reference caches this too (model_multi.py:2139-2146);
+    regenerating ~100k anchors per sample would starve the device."""
+    key = (tuple(config.RPN_ANCHOR_SCALES), tuple(config.RPN_ANCHOR_RATIOS),
+           tuple(config.BACKBONE_STRIDES), config.RPN_ANCHOR_STRIDE,
+           tuple(np.asarray(image_shape).ravel()[:2]))
+    if key not in _ANCHOR_CACHE:
+        backbone_shapes = compute_backbone_shapes(config, image_shape)
+        _ANCHOR_CACHE[key] = generate_pyramid_anchors(
+            config.RPN_ANCHOR_SCALES, config.RPN_ANCHOR_RATIOS,
+            backbone_shapes, config.BACKBONE_STRIDES,
+            config.RPN_ANCHOR_STRIDE)
+    return _ANCHOR_CACHE[key]
 
 
 def _pad_to(arr, n, axis=0):
@@ -84,20 +108,30 @@ def _pad_to(arr, n, axis=0):
 
 
 def make_sample(dataset, config, view_ids, rnd_state=None,
-                with_depth=False):
+                with_depth=False, augmentation=None):
     """Assemble one multi-view training sample. view_ids[0] is the main view
-    (GT comes from it only, model_multi.py:2150-2153)."""
+    (GT comes from it only, model_multi.py:2150-2153). Augmentation applies
+    to the main view's image+GT only, matching the reference's
+    load_image_gt call path (model_multi.py:2150-2153) — support views feed
+    the projection geometry and are left untouched."""
     cfg = config
     v = len(view_ids)
     hw = int(cfg.IMAGE_SHAPE[0])
     main_id = view_ids[0]
+    rnd = np.random.RandomState(rnd_state) if rnd_state is not None else \
+        np.random.RandomState()
 
     image, image_meta, gt_class_ids, gt_boxes_px, gt_masks = load_image_gt(
-        dataset, cfg, main_id, use_mini_mask=cfg.USE_MINI_MASK)
+        dataset, cfg, main_id, use_mini_mask=cfg.USE_MINI_MASK,
+        augmentation=augmentation, rnd=rnd)
 
     images = np.zeros((v, hw, hw, 3), np.float32)
     R = np.zeros((v, 3, 4), np.float32)
-    depths = (np.zeros((v, 20, 20), np.float32) if with_depth else None)
+    # depth maps ride at the P5 feature resolution (the transformer tokens
+    # are P5 pixels — model_transformer.py:2419-2438), whatever the image
+    # size is.
+    ds = hw // cfg.BACKBONE_STRIDES[3]
+    depths = (np.zeros((v, ds, ds), np.float32) if with_depth else None)
     images[0] = mold_image(image, cfg.MEAN_PIXEL)
     R[0] = dataset.load_R(main_id)
     if with_depth:
@@ -116,8 +150,7 @@ def make_sample(dataset, config, view_ids, rnd_state=None,
     anchors = pixel_anchors(cfg, cfg.IMAGE_SHAPE)
     rpn_match, rpn_bbox = build_rpn_targets(
         anchors, gt_class_ids, gt_boxes_px.astype(np.float32), cfg,
-        rnd_state=np.random.RandomState(rnd_state)
-        if rnd_state is not None else None)
+        rnd_state=rnd)
 
     g = cfg.MAX_GT_INSTANCES
     n_inst = min(gt_class_ids.shape[0], g)
@@ -146,7 +179,7 @@ def make_sample(dataset, config, view_ids, rnd_state=None,
 
 
 def make_batch(dataset, config, rnd_state=None, with_depth=False,
-               keys=None):
+               keys=None, augmentation=None):
     """One batch of BATCH_SIZE multi-view samples + normalized anchors."""
     from ..ops.anchors import get_anchors
 
@@ -164,7 +197,8 @@ def make_batch(dataset, config, rnd_state=None, with_depth=False,
                 continue
             samples.append(make_sample(dataset, cfg, view_ids,
                                        rnd_state=rnd.randint(2 ** 31),
-                                       with_depth=with_depth))
+                                       with_depth=with_depth,
+                                       augmentation=augmentation))
             errors = 0
         except Exception:  # noqa: BLE001 — reference behavior
             errors += 1

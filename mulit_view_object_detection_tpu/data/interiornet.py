@@ -160,9 +160,10 @@ class InteriorNetDataset(Dataset):
                                   "depth0/data",
                                   str(info["image_sub_id"]) + ".png")
         depth_image = np.asarray(imageio.imread(depth_path))[:, :, None]
+        ds = int(config.IMAGE_SHAPE[0]) // config.BACKBONE_STRIDES[3]
         depth_image, _, _, _, _ = resize_image(
-            depth_image, min_dim=20, min_scale=config.IMAGE_MIN_SCALE,
-            max_dim=20, mode=config.IMAGE_RESIZE_MODE)
+            depth_image, min_dim=ds, min_scale=config.IMAGE_MIN_SCALE,
+            max_dim=ds, mode=config.IMAGE_RESIZE_MODE)
         return depth_image[:, :, 0]
 
     def load_R(self, image_id):

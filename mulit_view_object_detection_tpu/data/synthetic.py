@@ -135,7 +135,9 @@ class SyntheticMultiViewDataset(Dataset):
         from .molding import resize_image
         scene, view = self._scene_view(image_id)
         depth = scene.render(view)[2][:, :, None]
-        depth, *_ = resize_image(depth, min_dim=20, max_dim=20,
+        # depth rides at P5 resolution (see data.generator.make_sample)
+        ds = int(config.IMAGE_SHAPE[0]) // config.BACKBONE_STRIDES[3]
+        depth, *_ = resize_image(depth, min_dim=ds, max_dim=ds,
                                  mode="square")
         return depth[:, :, 0]
 

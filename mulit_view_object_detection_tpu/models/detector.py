@@ -261,13 +261,6 @@ class MaskRCNN(nn.Module):
         # Projected multi-view path: levels P4, P5, P6 carry signal
         grid_pts = jnp.asarray(voxel_grid_points(cfg))
         grid_shape = (cfg.nvox, cfg.nvox, cfg.nvox_z)
-        fusion = GridFusion(cfg.GRID_REAS, cfg.TOP_DOWN_PYRAMID_SIZE, v,
-                            bool(cfg.TRAIN_BN) and training, dtype,
-                            name="grid_fusion")
-        collapse = DepthCollapse(cfg.GRID_REAS, cfg.TOP_DOWN_PYRAMID_SIZE,
-                                 cfg.samples,
-                                 bool(cfg.TRAIN_BN) and training, dtype,
-                                 name="depth_collapse")
         method = ("trilinear" if getattr(cfg, "TRILINEAR_REPROJECTION", False)
                   else "nearest")
         use_pallas = getattr(cfg, "USE_PALLAS", False) and \
@@ -284,6 +277,17 @@ class MaskRCNN(nn.Module):
                 out.append(jnp.zeros_like(p[:, 0]))
                 zeros.add(li)
                 continue
+            # SEPARATE fusion/collapse weights per pyramid level — the
+            # reference's reused_lay keys embed the level scope
+            # ('grid_reas_P4_3D_conv', model_multi.py:394-463), so each
+            # level owns its weights there too.
+            fusion = GridFusion(cfg.GRID_REAS, cfg.TOP_DOWN_PYRAMID_SIZE, v,
+                                bool(cfg.TRAIN_BN) and training, dtype,
+                                name=f"grid_fusion_p{li + 2}")
+            collapse = DepthCollapse(
+                cfg.GRID_REAS, cfg.TOP_DOWN_PYRAMID_SIZE, cfg.samples,
+                bool(cfg.TRAIN_BN) and training, dtype,
+                name=f"depth_collapse_p{li + 2}")
             vox = unproject(p, batch["Rcam"], batch["Kmat"],
                             image_shape, grid_pts, grid_shape)
             fused = fusion(vox)

@@ -16,8 +16,9 @@ model, so the TPU-native design is:
     bilinear taps from the flat buffer. No dynamic shapes, no re-sorting —
     output order is input order by construction.
 
-A fused Pallas kernel lives in kernels/roi_align_pallas.py; this is the
-reference XLA path and the autodiff-friendly fallback.
+Profiling (tools/trace_analysis.py, BENCH_NOTES.md) shows the XLA gathers
+here are cold relative to the geometry kernels, so this XLA formulation is
+the production path — no Pallas variant is warranted.
 """
 
 from __future__ import annotations

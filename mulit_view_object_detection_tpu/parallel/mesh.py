@@ -17,10 +17,15 @@ first-class and TPU-native (SURVEY.md §2.4):
 
 from __future__ import annotations
 
+import logging
+import os
+
 import jax
 import numpy as np
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+log = logging.getLogger(__name__)
 
 
 def make_mesh(data=None, view=1, devices=None):
@@ -86,20 +91,43 @@ def replicate_state(state, mesh):
     return jax.device_put(state, rep)
 
 
+# Env vars that signal a multi-process launch without touching the XLA
+# backend (jax.process_count() would initialize it, after which
+# jax.distributed.initialize() can never succeed).
+_CLUSTER_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+    "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE",
+    "TPU_WORKER_HOSTNAMES", "CLOUD_TPU_TASK_ID",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+)
+
+
 def init_distributed(coordinator_address=None, num_processes=None,
                      process_id=None):
     """Multi-host initialization (DCN across slices, ICI within — the
-    reference has no multi-node story at all, SURVEY.md §2.4). On single-
-    host this is a no-op; on TPU pods the args are auto-detected from the
-    environment when omitted."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    reference has no multi-node story at all, SURVEY.md §2.4).
+
+    MUST run before any other JAX call in the process. The multi-process
+    signal is read from explicit args or cluster env vars only — never from
+    jax.process_count(), which would initialize the backend and make
+    jax.distributed.initialize() unconditionally fail. Returns True if the
+    distributed runtime is (now) up, False for a plain single-process run.
+    """
+    explicit = (coordinator_address is not None or
+                num_processes is not None or process_id is not None)
+    if not explicit and not any(v in os.environ for v in _CLUSTER_ENV_VARS):
+        return False  # single-process: leave JAX untouched
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
-    except (ValueError, RuntimeError):
-        pass  # single-process / already initialized
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            log.warning("jax.distributed already initialized: %s", e)
+            return True
+        log.error("jax.distributed.initialize failed: %s", e)
+        raise
+    return True
 
 
 def host_local_batch_slice(global_batch_size):

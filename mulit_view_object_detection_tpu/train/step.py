@@ -109,6 +109,32 @@ def make_train_step(config, stage="all", donate=True):
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def make_val_step(config):
+    """Returns jitted val_step(state, batch, rng) -> loss metrics.
+
+    Runs the TRAINING graph (detection-target sampling + the five losses,
+    the reference's validation_data path through the same compiled model,
+    model_multi.py:2901-2912) but performs no update and discards any
+    batch_stats mutation, so validation never perturbs training state.
+    """
+
+    def val_step(state, batch, rng):
+        rng_s, rng_d = jax.random.split(rng)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        mutable = ["batch_stats"] if state.batch_stats else []
+        result = state.apply_fn(
+            variables, batch, training=True,
+            rngs={"sampling": rng_s, "dropout": rng_d}, mutable=mutable)
+        outputs = result[0] if mutable else result
+        loss_parts = compute_losses(outputs, batch, config)
+        total = L.total_loss(loss_parts, config.LOSS_WEIGHTS)
+        return dict(loss_parts, loss=total)
+
+    return jax.jit(val_step)
+
+
 def make_eval_step(config):
     """Returns jitted infer_step(state, batch) -> outputs dict."""
 

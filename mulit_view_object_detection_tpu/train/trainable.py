@@ -17,9 +17,14 @@ import re
 
 import jax
 
-HEAD_TOPS = {"rpn", "classifier_head", "mask_head", "fpn", "depth_collapse",
-             "view_transformer"}
-GRID_TOPS = {"grid_fusion"}
+HEAD_TOPS = ("rpn", "classifier_head", "mask_head", "fpn", "depth_collapse",
+             "view_transformer")
+GRID_TOPS = ("grid_fusion",)
+
+
+def _in(top, tops):
+    # per-level fusion modules are named grid_fusion_p4 / depth_collapse_p5…
+    return top.startswith(tops)
 
 
 def _backbone_stage(name):
@@ -36,17 +41,18 @@ def _path_trainable(path, stage):
     if stage == "all":
         return True
     if stage == "heads":
-        return top in HEAD_TOPS
+        return _in(top, HEAD_TOPS)
     if stage == "grid+":
-        return top in HEAD_TOPS or top in GRID_TOPS
+        return _in(top, HEAD_TOPS) or _in(top, GRID_TOPS)
     if stage == "grid+-":
-        return (top in (HEAD_TOPS - {"fpn"})) or top in GRID_TOPS
+        no_fpn = tuple(t for t in HEAD_TOPS if t != "fpn")
+        return _in(top, no_fpn) or _in(top, GRID_TOPS)
     if stage == "grid_only":
-        return top in GRID_TOPS
+        return _in(top, GRID_TOPS)
     m = re.match(r"(\d)\+$", stage)
     if m:
         min_stage = int(m.group(1))
-        if top in HEAD_TOPS or top in GRID_TOPS:
+        if _in(top, HEAD_TOPS) or _in(top, GRID_TOPS):
             return True
         if top == "backbone" and len(path) > 1:
             s = _backbone_stage(path[1])

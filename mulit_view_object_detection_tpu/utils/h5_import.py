@@ -13,9 +13,10 @@ parameter tree:
   mrcnn_mask_*                      -> mask_head/*
 
 Keras Conv kernels are [kh, kw, in, out] (same as flax); Dense [in, out]
-(same); Conv2DTranspose kernels are [kh, kw, out, in] and are transposed to
-flax's [kh, kw, in, out]. BatchNorm gamma/beta -> scale/bias (params),
-moving_mean/moving_variance -> mean/var (batch_stats).
+(same); Conv2DTranspose kernels are [kh, kw, out, in] and are spatially
+flipped + channel-transposed to match flax nn.ConvTranspose's
+fractionally-strided-correlation semantics. BatchNorm gamma/beta ->
+scale/bias (params), moving_mean/moving_variance -> mean/var (batch_stats).
 """
 
 from __future__ import annotations
@@ -113,7 +114,15 @@ def load_h5_weights(h5_path, params, batch_stats=None, verbose=False):
             else:
                 kernel = weights.get("kernel")
                 if kernel is not None and "deconv" in lname:
-                    kernel = np.transpose(kernel, (0, 1, 3, 2))
+                    # Keras Conv2DTranspose stores [kh, kw, out, in] and
+                    # computes the GRADIENT-of-conv deconvolution. Flax
+                    # nn.ConvTranspose (transpose_kernel=False) computes a
+                    # fractionally-strided CORRELATION over a [kh, kw, in,
+                    # out] kernel — the two differ by a spatial flip, so
+                    # both the flip and the channel transpose are needed
+                    # to reproduce TF numerics (see
+                    # tests/test_h5_import.py::test_deconv_semantics).
+                    kernel = np.transpose(kernel[::-1, ::-1], (0, 1, 3, 2))
                 _assign(params, path, "kernel", kernel)
                 _assign(params, path, "bias", weights.get("bias"))
             loaded.append(lname)

@@ -49,7 +49,8 @@ def test_synthetic_dataset_api():
     views = ds.load_view(2, "s0_v0")
     assert len(views) == 2
     depth = ds.load_depth(0, DataCfg())
-    assert depth.shape == (20, 20)
+    # depth rides at the P5 feature resolution: 64 / stride 32 = 2
+    assert depth.shape == (2, 2)
 
 
 def test_load_image_gt():
@@ -73,7 +74,7 @@ def test_make_sample_and_batch():
     assert s["Kmat"].shape == (3, 3)
     assert s["gt_masks"].shape == (8, 28, 28)
     assert s["gt_boxes"].max() <= 1.0
-    assert s["depths"].shape == (2, 20, 20)
+    assert s["depths"].shape == (2, 2, 2)  # [V, P5, P5] at 64px
     assert (s["rpn_match"] != 0).any()
 
     batch = make_batch(ds, cfg, rnd_state=0)
@@ -114,3 +115,25 @@ def test_instance_mapping():
     })
     assert m["7"] == [[3, "f0"], [3, "f1"]]
     assert m["8"] == [[2, "f0"]]
+
+
+def test_image_from_source_map_keying():
+    """Pins the registry keying contract (reference utils.py:560-562):
+    image_from_source_map maps "<source>.<source_image_id>" to the internal
+    row index, in registration order — load_view and the eval loop both
+    depend on it."""
+    from mulit_view_object_detection_tpu.data.dataset import Dataset
+
+    ds = Dataset()
+    ds.add_class("synthetic", 1, "thing")
+    ds.add_image("synthetic", image_id="frame_b", path="pb")
+    ds.add_image("synthetic", image_id="frame_a", path="pa")
+    ds.prepare()
+    assert ds.image_from_source_map["synthetic.frame_b"] == 0
+    assert ds.image_from_source_map["synthetic.frame_a"] == 1
+    assert ds.image_info[ds.image_from_source_map["synthetic.frame_a"]][
+        "path"] == "pa"
+    # class map: background + registered class
+    assert ds.class_from_source_map["synthetic.1"] == 1
+    assert ds.class_names[0] == "BG"
+    assert ds.source_class_ids["synthetic"] == [0, 1]

@@ -69,9 +69,15 @@ def test_multiview_conv3d_inference():
     cfg = C()
     variables, out = _init_and_run(cfg, training=False)
     assert out["detections"].shape == (1, 8, 6)
-    # fusion params exist and are shared across levels (single module)
-    assert "grid_fusion" in variables["params"]
-    assert "depth_collapse" in variables["params"]
+    # SEPARATE fusion params per non-zeroed level (matches the reference's
+    # per-level reused_lay scopes, model_multi.py:394-463)
+    for li in (4, 5, 6):
+        assert f"grid_fusion_p{li}" in variables["params"]
+        assert f"depth_collapse_p{li}" in variables["params"]
+    kp4 = variables["params"]["grid_fusion_p4"]
+    kp5 = variables["params"]["grid_fusion_p5"]
+    assert jax.tree_util.tree_structure(kp4) == \
+        jax.tree_util.tree_structure(kp5)
 
 
 def test_multiview_add_training_losses():

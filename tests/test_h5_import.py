@@ -122,13 +122,44 @@ def test_h5_import_maps_layers(model_vars, tmp_path):
     np.testing.assert_array_equal(
         new_params["classifier_head"]["mrcnn_class_logits"]["kernel"],
         entries["mrcnn_class_logits"]["kernel"])
-    # deconv transposed into flax layout
+    # deconv: spatially flipped + channel-transposed into flax's
+    # fractionally-strided-correlation layout (see test_deconv_semantics)
     np.testing.assert_array_equal(
         new_params["mask_head"]["mrcnn_mask_deconv"]["kernel"],
-        np.transpose(entries["mrcnn_mask_deconv"]["kernel"], (0, 1, 3, 2)))
+        np.transpose(entries["mrcnn_mask_deconv"]["kernel"][::-1, ::-1],
+                     (0, 1, 3, 2)))
     assert "conv1" in report["loaded"]
     assert "some_unknown_layer" in report["skipped"]
     # untouched layers keep their init values
     np.testing.assert_array_equal(
         new_params["fpn"]["fpn_p2"]["kernel"],
         np.asarray(params["fpn"]["fpn_p2"]["kernel"]))
+
+
+def test_deconv_semantics():
+    """The importer's Conv2DTranspose transform (spatial flip + channel
+    transpose) must make flax nn.ConvTranspose reproduce TF/Keras
+    gradient-of-conv deconvolution numerics exactly."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 4, 4, 3).astype(np.float32)
+    K = rng.randn(2, 2, 5, 3).astype(np.float32)   # keras [kh, kw, out, in]
+    b = rng.randn(5).astype(np.float32)
+
+    # TF Conv2DTranspose(strides=2, kernel=2x2) oracle: the gradient of a
+    # stride-2 VALID conv — with stride == kernel size the taps don't
+    # overlap, so y[2i+di, 2j+dj, o] = sum_c x[i,j,c] * K[di,dj,o,c] + b.
+    y_ref = np.zeros((2, 8, 8, 5), np.float32)
+    for di in range(2):
+        for dj in range(2):
+            y_ref[:, di::2, dj::2] = np.einsum("bhwc,oc->bhwo", x, K[di, dj])
+    y_ref += b
+
+    # the exact transform load_h5_weights applies to "deconv" kernels
+    kernel = np.transpose(K[::-1, ::-1], (0, 1, 3, 2))
+    mod = nn.ConvTranspose(5, (2, 2), strides=(2, 2))
+    y = mod.apply({"params": {"kernel": jnp.asarray(kernel),
+                              "bias": jnp.asarray(b)}}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-5, atol=1e-5)

@@ -22,8 +22,8 @@ def fake_params():
         "rpn": {"rpn_conv_shared": {"kernel": jnp.ones((3, 3, 8, 8))}},
         "classifier_head": {"mrcnn_class_conv1": {"kernel": jnp.ones((7, 7, 8, 8))}},
         "mask_head": {"mrcnn_mask_conv1": {"kernel": jnp.ones((3, 3, 8, 8))}},
-        "grid_fusion": {"down1": {"kernel": jnp.ones((3, 3, 3, 8, 8))}},
-        "depth_collapse": {"collapse": {"kernel": jnp.ones((1, 1, 4, 1))}},
+        "grid_fusion_p4": {"down1": {"kernel": jnp.ones((3, 3, 3, 8, 8))}},
+        "depth_collapse_p4": {"collapse": {"kernel": jnp.ones((1, 1, 4, 1))}},
     }
 
 
@@ -40,18 +40,18 @@ def test_trainable_stage_heads():
     assert m["rpn/rpn_conv_shared/kernel"]
     assert m["fpn/fpn_p2/kernel"]
     assert m["classifier_head/mrcnn_class_conv1/kernel"]
-    assert m["depth_collapse/collapse/kernel"]
-    assert not m["grid_fusion/down1/kernel"]
+    assert m["depth_collapse_p4/collapse/kernel"]
+    assert not m["grid_fusion_p4/down1/kernel"]
     assert not m["backbone/conv1/kernel"]
 
 
 def test_trainable_stage_grid():
     m = _mask_of("grid+")
-    assert m["grid_fusion/down1/kernel"]
+    assert m["grid_fusion_p4/down1/kernel"]
     assert m["fpn/fpn_p2/kernel"]
     assert not m["backbone/res4a/conv2a/kernel"]
     m = _mask_of("grid_only")
-    assert m["grid_fusion/down1/kernel"]
+    assert m["grid_fusion_p4/down1/kernel"]
     assert not m["rpn/rpn_conv_shared/kernel"]
     m = _mask_of("grid+-")
     assert not m["fpn/fpn_p2/kernel"]
@@ -64,7 +64,7 @@ def test_trainable_stage_resnet():
     assert m["backbone/res5a/conv2a/kernel"]
     assert not m["backbone/res3a/conv2a/kernel"]
     assert not m["backbone/conv1/kernel"]
-    assert m["grid_fusion/down1/kernel"]
+    assert m["grid_fusion_p4/down1/kernel"]
     m = _mask_of("all")
     assert all(m.values())
 
