@@ -1,10 +1,10 @@
 """Host-side image/mask molding (numpy + OpenCV).
 
-Re-implements the reference's molding pipeline (mrcnn/utils.py:647-835) with
-identical window/scale/padding arithmetic — these feed coordinates into the
-device graphs, so they must match bit-for-bit. Pixel resampling uses cv2
-bilinear instead of skimage (not in this image); the coordinate bookkeeping
-is what parity depends on.
+Implements the same molding contract as the reference pipeline
+(mrcnn/utils.py:647-835): the window/scale/padding bookkeeping feeds
+coordinates into the device graphs, so that arithmetic is preserved
+exactly. Pixel resampling runs on cv2 bilinear instead of skimage (not in
+this image); only the coordinate math is parity-load-bearing.
 
   resize_image   utils.py:647-751 (modes none/square/pad64/crop)
   resize_mask    utils.py:754-773
@@ -36,121 +36,115 @@ def resize(image, output_shape, order=1, preserve_range=True,
     return out / 255.0
 
 
+def _split_padding(deficit):
+    """Split a pad amount into (leading, trailing) with the extra pixel on
+    the trailing side — the convention the device window math expects."""
+    lead = deficit // 2
+    return lead, deficit - lead
+
+
+def _pick_scale(h, w, min_dim, max_dim, min_scale, cap_long_side):
+    """Resize factor: bring the short side up to min_dim (never shrink
+    below 1), respect min_scale, and in square mode cap the long side at
+    max_dim. Order of precedence matches utils.py:676-692."""
+    factor = max(1, min_dim / min(h, w)) if min_dim else 1
+    if min_scale and factor < min_scale:
+        factor = min_scale
+    if cap_long_side and max_dim and round(max(h, w) * factor) > max_dim:
+        factor = max_dim / max(h, w)
+    return factor
+
+
 def resize_image(image, min_dim=None, max_dim=None, min_scale=None,
                  mode="square"):
-    """Returns (image, window, scale, padding, crop); see utils.py:647-751."""
-    image_dtype = image.dtype
+    """Returns (image, window, scale, padding, crop); see utils.py:647-751.
+
+    window is (y1, x1, y2, x2): where the real pixels sit inside the
+    padded output. padding is [(top, bottom), (left, right), (0, 0)].
+    """
+    in_dtype = image.dtype
     h, w = image.shape[:2]
-    window = (0, 0, h, w)
-    scale = 1
-    padding = [(0, 0), (0, 0), (0, 0)]
-    crop = None
-
     if mode == "none":
-        return image, window, scale, padding, crop
+        return image, (0, 0, h, w), 1, [(0, 0), (0, 0), (0, 0)], None
 
-    if min_dim:
-        scale = max(1, min_dim / min(h, w))
-    if min_scale and scale < min_scale:
-        scale = min_scale
-
-    if max_dim and mode == "square":
-        image_max = max(h, w)
-        if round(image_max * scale) > max_dim:
-            scale = max_dim / image_max
-
+    scale = _pick_scale(h, w, min_dim, max_dim, min_scale,
+                        cap_long_side=(mode == "square"))
     if scale != 1:
         image = resize(image, (round(h * scale), round(w * scale)),
                        preserve_range=True)
+    h, w = image.shape[:2]
 
     if mode == "square":
-        h, w = image.shape[:2]
-        top_pad = (max_dim - h) // 2
-        bottom_pad = max_dim - h - top_pad
-        left_pad = (max_dim - w) // 2
-        right_pad = max_dim - w - left_pad
-        padding = [(top_pad, bottom_pad), (left_pad, right_pad), (0, 0)]
-        image = np.pad(image, padding, mode="constant", constant_values=0)
-        window = (top_pad, left_pad, h + top_pad, w + left_pad)
+        top, bottom = _split_padding(max_dim - h)
+        left, right = _split_padding(max_dim - w)
     elif mode == "pad64":
-        h, w = image.shape[:2]
+        # pad each side independently up to the next multiple of 64 (the
+        # FPN downsampling requirement); min_dim must already comply.
         assert min_dim % 64 == 0, "Minimum dimension must be a multiple of 64"
-        if h % 64 > 0:
-            max_h = h - (h % 64) + 64
-            top_pad = (max_h - h) // 2
-            bottom_pad = max_h - h - top_pad
-        else:
-            top_pad = bottom_pad = 0
-        if w % 64 > 0:
-            max_w = w - (w % 64) + 64
-            left_pad = (max_w - w) // 2
-            right_pad = max_w - w - left_pad
-        else:
-            left_pad = right_pad = 0
-        padding = [(top_pad, bottom_pad), (left_pad, right_pad), (0, 0)]
-        image = np.pad(image, padding, mode="constant", constant_values=0)
-        window = (top_pad, left_pad, h + top_pad, w + left_pad)
+        top, bottom = _split_padding(-h % 64)
+        left, right = _split_padding(-w % 64)
     elif mode == "crop":
-        h, w = image.shape[:2]
-        y = np.random.randint(0, (h - min_dim)) if h > min_dim else 0
-        x = np.random.randint(0, (w - min_dim)) if w > min_dim else 0
-        crop = (y, x, min_dim, min_dim)
+        y = np.random.randint(0, h - min_dim) if h > min_dim else 0
+        x = np.random.randint(0, w - min_dim) if w > min_dim else 0
         image = image[y:y + min_dim, x:x + min_dim]
-        window = (0, 0, min_dim, min_dim)
+        return (image.astype(in_dtype), (0, 0, min_dim, min_dim), scale,
+                [(0, 0), (0, 0), (0, 0)], (y, x, min_dim, min_dim))
     else:
-        raise Exception("Mode {} not supported".format(mode))
-    return image.astype(image_dtype), window, scale, padding, crop
+        raise ValueError(f"unknown resize mode: {mode!r}")
+
+    padding = [(top, bottom), (left, right), (0, 0)]
+    image = np.pad(image, padding, mode="constant", constant_values=0)
+    window = (top, left, h + top, w + left)
+    return image.astype(in_dtype), window, scale, padding, None
 
 
 def resize_mask(mask, scale, padding, crop=None):
-    """Nearest-neighbor mask resize matching resize_image (utils.py:754-773)."""
-    mask = scipy.ndimage.zoom(mask, zoom=[scale, scale, 1], order=0)
+    """Nearest-neighbor mask resize mirroring resize_image's geometry
+    (utils.py:754-773). mask: [H, W, N]."""
+    scaled = scipy.ndimage.zoom(mask, zoom=[scale, scale, 1], order=0)
     if crop is not None:
-        y, x, h, w = crop
-        mask = mask[y:y + h, x:x + w]
-    else:
-        mask = np.pad(mask, padding, mode="constant", constant_values=0)
-    return mask
+        y, x, ch, cw = crop
+        return scaled[y:y + ch, x:x + cw]
+    return np.pad(scaled, padding, mode="constant", constant_values=0)
 
 
 def minimize_mask(bbox, mask, mini_shape):
-    """Crop each instance mask to its bbox and resize to mini_shape
-    (utils.py:776-793). mask: [H, W, N] bool."""
-    mini_mask = np.zeros(tuple(mini_shape) + (mask.shape[-1],), dtype=bool)
-    for i in range(mask.shape[-1]):
-        m = mask[:, :, i].astype(bool)
-        y1, x1, y2, x2 = bbox[i][:4]
-        m = m[y1:y2, x1:x2]
-        if m.size == 0:
-            raise Exception("Invalid bounding box with area of zero")
-        m = resize(m.astype(np.float32), mini_shape, order=1)
-        mini_mask[:, :, i] = np.around(m).astype(bool)
-    return mini_mask
+    """Mini-mask codec: crop each instance to its box, resize to
+    mini_shape (utils.py:776-793). mask: [H, W, N] bool."""
+    num = mask.shape[-1]
+    packed = np.zeros(tuple(mini_shape) + (num,), dtype=bool)
+    for idx in range(num):
+        y1, x1, y2, x2 = bbox[idx][:4]
+        patch = mask[y1:y2, x1:x2, idx].astype(bool)
+        if patch.size == 0:
+            raise ValueError(
+                f"instance {idx} has a zero-area box {bbox[idx][:4]}")
+        patch = resize(patch.astype(np.float32), mini_shape, order=1)
+        packed[:, :, idx] = np.around(patch).astype(bool)
+    return packed
 
 
 def expand_mask(bbox, mini_mask, image_shape):
-    """Inverse of minimize_mask (utils.py:796-811)."""
-    mask = np.zeros(image_shape[:2] + (mini_mask.shape[-1],), dtype=bool)
-    for i in range(mask.shape[-1]):
-        m = mini_mask[:, :, i].astype(np.float32)
-        y1, x1, y2, x2 = bbox[i][:4]
-        h = y2 - y1
-        w = x2 - x1
-        m = resize(m, (h, w), order=1)
-        mask[y1:y2, x1:x2, i] = np.around(m).astype(bool)
-    return mask
+    """Inverse of minimize_mask: paste each mini-mask back into its box in
+    a full-size canvas (utils.py:796-811)."""
+    num = mini_mask.shape[-1]
+    canvas = np.zeros(image_shape[:2] + (num,), dtype=bool)
+    for idx in range(num):
+        y1, x1, y2, x2 = bbox[idx][:4]
+        patch = resize(mini_mask[:, :, idx].astype(np.float32),
+                       (y2 - y1, x2 - x1), order=1)
+        canvas[y1:y2, x1:x2, idx] = np.around(patch).astype(bool)
+    return canvas
 
 
-def unmold_mask(mask, bbox, image_shape):
-    """Resize a predicted MASK_SHAPE mask into a full-image binary mask
-    (utils.py:819-835)."""
-    threshold = 0.5
+def unmold_mask(mask, bbox, image_shape, threshold=0.5):
+    """Place one predicted MASK_SHAPE soft mask into a full-image binary
+    mask at its box (utils.py:819-835)."""
     y1, x1, y2, x2 = bbox
-    mask = resize(mask, (y2 - y1, x2 - x1), order=1)
-    mask = np.where(mask >= threshold, 1, 0).astype(bool)
-    full_mask = np.zeros(image_shape[:2], dtype=bool)
-    full_mask[y1:y2, x1:x2] = mask
-    return full_mask
+    soft = resize(mask, (y2 - y1, x2 - x1), order=1)
+    full = np.zeros(image_shape[:2], dtype=bool)
+    full[y1:y2, x1:x2] = soft >= threshold
+    return full
 
 
 def mold_image(images, mean_pixel):

@@ -1,9 +1,12 @@
-"""VOC-style detection/instance-segmentation metrics (host-side numpy).
+"""VOC-style detection / instance-segmentation metrics (host-side numpy).
 
-Semantics match the reference evaluation stack:
-  compute_matches   utils.py:915-971 (greedy score-ordered matching on mask IoU)
-  compute_ap        utils.py:974-1010 (AP at a single IoU threshold)
-  compute_ap_range  utils.py:1013-1034 (AP averaged over IoU 0.5:0.05:0.95)
+Same evaluation contract as the reference stack — greedy score-ordered
+matching on mask IoU, the interpolated-precision AP integral, and the
+IoU-sweep average:
+
+  compute_matches   utils.py:915-971
+  compute_ap        utils.py:974-1010
+  compute_ap_range  utils.py:1013-1034
   compute_recall    utils.py:1037-1052
 """
 
@@ -15,45 +18,50 @@ from ..ops.boxes import compute_overlaps_masks_np, compute_overlaps_np
 
 
 def trim_zeros(x):
-    """Remove all-zero rows (utils.py:905-912)."""
-    assert len(x.shape) == 2
-    return x[~np.all(x == 0, axis=1)]
+    """Drop all-zero rows from a 2-D array (padding convention: real rows
+    never vanish to exactly zero)."""
+    assert x.ndim == 2
+    return x[np.any(x != 0, axis=1)]
 
 
 def compute_matches(gt_boxes, gt_class_ids, gt_masks,
                     pred_boxes, pred_class_ids, pred_scores, pred_masks,
                     iou_threshold=0.5, score_threshold=0.0):
-    """Greedy matching of predictions to GT on mask IoU (utils.py:915-971)."""
+    """Greedily match predictions to ground truth on mask IoU.
+
+    Predictions are visited in descending score order; each takes its
+    highest-IoU unclaimed GT of the same class, provided IoU clears
+    `iou_threshold`. Returns (gt_match [G], pred_match [P], overlaps
+    [P, G]) where the match arrays hold the paired index or -1.
+    """
     gt_boxes = trim_zeros(gt_boxes)
     gt_masks = gt_masks[..., :gt_boxes.shape[0]]
     pred_boxes = trim_zeros(pred_boxes)
     pred_scores = pred_scores[:pred_boxes.shape[0]]
-    indices = np.argsort(pred_scores)[::-1]
-    pred_boxes = pred_boxes[indices]
-    pred_class_ids = pred_class_ids[indices]
-    pred_scores = pred_scores[indices]
-    pred_masks = pred_masks[..., indices]
+    # descending score; ties resolved identically to the reference
+    order = np.argsort(pred_scores)[::-1]
+    pred_boxes = pred_boxes[order]
+    pred_class_ids = pred_class_ids[order]
+    pred_scores = pred_scores[order]
+    pred_masks = pred_masks[..., order]
 
     overlaps = compute_overlaps_masks_np(pred_masks, gt_masks)
-
-    match_count = 0
-    pred_match = -1 * np.ones([pred_boxes.shape[0]])
-    gt_match = -1 * np.ones([gt_boxes.shape[0]])
-    for i in range(len(pred_boxes)):
-        sorted_ixs = np.argsort(overlaps[i])[::-1]
-        low_score_idx = np.where(overlaps[i, sorted_ixs] < score_threshold)[0]
-        if low_score_idx.size > 0:
-            sorted_ixs = sorted_ixs[:low_score_idx[0]]
-        for j in sorted_ixs:
-            if gt_match[j] > -1:
-                continue
-            iou = overlaps[i, j]
-            if iou < iou_threshold:
-                break
-            if pred_class_ids[i] == gt_class_ids[j]:
-                match_count += 1
-                gt_match[j] = i
-                pred_match[i] = j
+    num_pred, num_gt = pred_boxes.shape[0], gt_boxes.shape[0]
+    gt_match = np.full(num_gt, -1.0)
+    pred_match = np.full(num_pred, -1.0)
+    for p in range(num_pred):
+        candidates = np.argsort(overlaps[p])[::-1]
+        below = np.nonzero(overlaps[p, candidates] < score_threshold)[0]
+        if below.size:
+            candidates = candidates[:below[0]]
+        for g in candidates:
+            if gt_match[g] > -1:
+                continue  # already claimed by a higher-scoring prediction
+            if overlaps[p, g] < iou_threshold:
+                break     # candidates are IoU-sorted: nothing better left
+            if pred_class_ids[p] == gt_class_ids[g]:
+                gt_match[g] = p
+                pred_match[p] = g
                 break
     return gt_match, pred_match, overlaps
 
@@ -61,53 +69,54 @@ def compute_matches(gt_boxes, gt_class_ids, gt_masks,
 def compute_ap(gt_boxes, gt_class_ids, gt_masks,
                pred_boxes, pred_class_ids, pred_scores, pred_masks,
                iou_threshold=0.5):
-    """AP at one IoU threshold (utils.py:974-1010)."""
+    """Average precision at one IoU threshold: area under the
+    interpolated (monotone-envelope) precision-recall curve."""
     gt_match, pred_match, overlaps = compute_matches(
         gt_boxes, gt_class_ids, gt_masks,
         pred_boxes, pred_class_ids, pred_scores, pred_masks, iou_threshold)
 
-    precisions = np.cumsum(pred_match > -1) / (np.arange(len(pred_match)) + 1)
-    recalls = np.cumsum(pred_match > -1).astype(np.float32) / len(gt_match)
+    hits = np.cumsum(pred_match > -1)
+    precisions = hits / (np.arange(pred_match.size) + 1)
+    recalls = hits.astype(np.float32) / gt_match.size
 
-    precisions = np.concatenate([[0], precisions, [0]])
-    recalls = np.concatenate([[0], recalls, [1]])
+    # sentinel-pad, then take the running max from the right so precision
+    # is non-increasing in recall (the VOC interpolation)
+    precisions = np.concatenate([[0.0], precisions, [0.0]])
+    recalls = np.concatenate([[0.0], recalls, [1.0]])
+    precisions = np.maximum.accumulate(precisions[::-1])[::-1]
 
-    for i in range(len(precisions) - 2, -1, -1):
-        precisions[i] = np.maximum(precisions[i], precisions[i + 1])
-
-    indices = np.where(recalls[:-1] != recalls[1:])[0] + 1
-    mAP = np.sum((recalls[indices] - recalls[indices - 1]) *
-                 precisions[indices])
-    return mAP, precisions, recalls, overlaps
+    steps = np.nonzero(recalls[1:] != recalls[:-1])[0] + 1
+    ap = float(np.sum((recalls[steps] - recalls[steps - 1]) *
+                      precisions[steps]))
+    return ap, precisions, recalls, overlaps
 
 
 def compute_ap_range(gt_box, gt_class_id, gt_mask,
                      pred_box, pred_class_id, pred_score, pred_mask,
                      iou_thresholds=None, verbose=1):
-    """AP over IoU 0.5:0.05:0.95 (utils.py:1013-1034)."""
-    iou_thresholds = iou_thresholds or np.arange(0.5, 1.0, 0.05)
-    AP = []
-    for iou_threshold in iou_thresholds:
-        ap, precisions, recalls, overlaps = compute_ap(
-            gt_box, gt_class_id, gt_mask,
-            pred_box, pred_class_id, pred_score, pred_mask,
-            iou_threshold=iou_threshold)
+    """AP averaged over an IoU sweep (default COCO-style 0.5:0.05:0.95)."""
+    if iou_thresholds is None:
+        iou_thresholds = np.arange(0.5, 1.0, 0.05)
+    aps = []
+    for threshold in iou_thresholds:
+        ap = compute_ap(gt_box, gt_class_id, gt_mask, pred_box,
+                        pred_class_id, pred_score, pred_mask,
+                        iou_threshold=threshold)[0]
+        aps.append(ap)
         if verbose:
-            print("AP @{:.2f}:\t {:.3f}".format(iou_threshold, ap))
-        AP.append(ap)
-    AP = np.array(AP).mean()
+            print("AP @{:.2f}:\t {:.3f}".format(threshold, ap))
+    mean_ap = float(np.mean(aps))
     if verbose:
         print("AP @{:.2f}-{:.2f}:\t {:.3f}".format(
-            iou_thresholds[0], iou_thresholds[-1], AP))
-    return AP
+            iou_thresholds[0], iou_thresholds[-1], mean_ap))
+    return mean_ap
 
 
 def compute_recall(pred_boxes, gt_boxes, iou):
-    """Recall at an IoU threshold (utils.py:1037-1052)."""
+    """Fraction of GT boxes covered by some prediction at >= iou.
+    Returns (recall, indices of covering predictions)."""
     overlaps = compute_overlaps_np(pred_boxes, gt_boxes)
-    iou_max = np.max(overlaps, axis=1)
-    iou_argmax = np.argmax(overlaps, axis=1)
-    positive_ids = np.where(iou_max >= iou)[0]
-    matched_gt_boxes = iou_argmax[positive_ids]
-    recall = len(set(matched_gt_boxes)) / gt_boxes.shape[0]
-    return recall, positive_ids
+    best_iou = overlaps.max(axis=1)
+    covered_preds = np.nonzero(best_iou >= iou)[0]
+    claimed_gts = np.unique(overlaps.argmax(axis=1)[covered_preds])
+    return claimed_gts.size / gt_boxes.shape[0], covered_preds

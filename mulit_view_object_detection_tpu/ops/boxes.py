@@ -115,128 +115,120 @@ def denorm_boxes(boxes, shape):
 
 
 # ---------------------------------------------------------------------------
-# NumPy (host-side: dataset prep, evaluation)
+# NumPy (host-side: dataset prep, evaluation). Fully vectorized — the
+# reference's per-column / per-instance python loops (utils.py:293-357)
+# don't survive a 100+ fps input pipeline.
 # ---------------------------------------------------------------------------
 
+def _areas_np(boxes):
+    return (boxes[..., 2] - boxes[..., 0]) * (boxes[..., 3] - boxes[..., 1])
+
+
 def compute_iou_np(box, boxes, box_area, boxes_area):
-    """IoU of one box against many (utils.py:319-337)."""
-    y1 = np.maximum(box[0], boxes[:, 0])
-    y2 = np.minimum(box[2], boxes[:, 2])
-    x1 = np.maximum(box[1], boxes[:, 1])
-    x2 = np.minimum(box[3], boxes[:, 3])
-    intersection = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
-    union = box_area + boxes_area[:] - intersection[:]
-    return intersection / union
+    """IoU of one box [4] against boxes [N, 4] (utils.py:319-337
+    semantics: no epsilon — degenerate unions propagate as in the
+    reference)."""
+    lo = np.maximum(box[:2], boxes[:, :2])
+    hi = np.minimum(box[2:4], boxes[:, 2:4])
+    inter = np.prod(np.maximum(hi - lo, 0), axis=-1)
+    return inter / (box_area + boxes_area - inter)
 
 
 def compute_overlaps_np(boxes1, boxes2):
-    """Pairwise IoU [N1, N2] (utils.py:340-357)."""
-    area1 = (boxes1[:, 2] - boxes1[:, 0]) * (boxes1[:, 3] - boxes1[:, 1])
-    area2 = (boxes2[:, 2] - boxes2[:, 0]) * (boxes2[:, 3] - boxes2[:, 1])
-    out = np.zeros((boxes1.shape[0], boxes2.shape[0]))
-    for i in range(out.shape[1]):
-        out[:, i] = compute_iou_np(boxes2[i], boxes1, area2[i], area1)
-    return out
+    """Pairwise IoU [N1, N2] — one broadcast, no loop."""
+    lo = np.maximum(boxes1[:, None, :2], boxes2[None, :, :2])
+    hi = np.minimum(boxes1[:, None, 2:4], boxes2[None, :, 2:4])
+    inter = np.prod(np.maximum(hi - lo, 0), axis=-1)
+    union = _areas_np(boxes1)[:, None] + _areas_np(boxes2)[None, :] - inter
+    return inter / union
 
 
 def compute_overlaps_masks_np(masks1, masks2):
-    """IoU between two mask stacks [H, W, N] (utils.py:359-378)."""
-    if masks1.shape[-1] == 0 or masks2.shape[-1] == 0:
-        return np.zeros((masks1.shape[-1], masks2.shape[-1]))
-    m1 = np.reshape(masks1 > 0.5, (-1, masks1.shape[-1])).astype(np.float32)
-    m2 = np.reshape(masks2 > 0.5, (-1, masks2.shape[-1])).astype(np.float32)
-    area1 = np.sum(m1, axis=0)
-    area2 = np.sum(m2, axis=0)
-    intersections = np.dot(m1.T, m2)
-    union = area1[:, None] + area2[None, :] - intersections
-    return intersections / np.maximum(union, 1e-10)
+    """IoU between two mask stacks [H, W, N] via one flattened matmul
+    (utils.py:359-378)."""
+    n1, n2 = masks1.shape[-1], masks2.shape[-1]
+    if n1 == 0 or n2 == 0:
+        return np.zeros((n1, n2))
+    flat1 = (masks1 > 0.5).reshape(-1, n1).astype(np.float32)
+    flat2 = (masks2 > 0.5).reshape(-1, n2).astype(np.float32)
+    inter = flat1.T @ flat2
+    union = flat1.sum(0)[:, None] + flat2.sum(0)[None, :] - inter
+    return inter / np.maximum(union, 1e-10)
 
 
 def non_max_suppression_np(boxes, scores, threshold):
-    """Greedy NMS returning kept indices (utils.py:381-415)."""
+    """Greedy score-descending NMS; returns kept indices. Suppresses at
+    IoU STRICTLY greater than `threshold` (utils.py:381-415)."""
     assert boxes.shape[0] > 0
-    if boxes.dtype.kind != "f":
-        boxes = boxes.astype(np.float32)
-    y1, x1, y2, x2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    area = (y2 - y1) * (x2 - x1)
-    ixs = scores.argsort()[::-1]
-    pick = []
-    while len(ixs) > 0:
-        i = ixs[0]
-        pick.append(i)
-        iou = compute_iou_np(boxes[i], boxes[ixs[1:]], area[i], area[ixs[1:]])
-        remove_ixs = np.where(iou > threshold)[0] + 1
-        ixs = np.delete(ixs, remove_ixs)
-        ixs = np.delete(ixs, 0)
-    return np.array(pick, dtype=np.int32)
+    boxes = boxes.astype(np.float32) if boxes.dtype.kind != "f" else boxes
+    areas = _areas_np(boxes)
+    order = scores.argsort()[::-1]
+    alive = np.ones(boxes.shape[0], dtype=bool)
+    kept = []
+    for rank in range(order.shape[0]):
+        idx = order[rank]
+        if not alive[idx]:
+            continue
+        kept.append(idx)
+        rest = order[rank + 1:]
+        iou = compute_iou_np(boxes[idx], boxes[rest], areas[idx],
+                             areas[rest])
+        alive[rest[iou > threshold]] = False
+    return np.asarray(kept, dtype=np.int32)
+
+
+def _box_geometry_np(boxes):
+    """(centers [N, (cy, cx)], sizes [N, (h, w)]) of float32 boxes."""
+    sizes = boxes[:, 2:4] - boxes[:, 0:2]
+    return boxes[:, 0:2] + 0.5 * sizes, sizes
 
 
 def apply_box_deltas_np(boxes, deltas):
-    """utils.py:418-439."""
-    boxes = boxes.astype(np.float32)
-    height = boxes[:, 2] - boxes[:, 0]
-    width = boxes[:, 3] - boxes[:, 1]
-    center_y = boxes[:, 0] + 0.5 * height
-    center_x = boxes[:, 1] + 0.5 * width
-    center_y += deltas[:, 0] * height
-    center_x += deltas[:, 1] * width
-    height *= np.exp(deltas[:, 2])
-    width *= np.exp(deltas[:, 3])
-    y1 = center_y - 0.5 * height
-    x1 = center_x - 0.5 * width
-    return np.stack([y1, x1, y1 + height, x1 + width], axis=1)
+    """Apply (dy, dx, log dh, log dw) refinements (utils.py:418-439)."""
+    centers, sizes = _box_geometry_np(boxes.astype(np.float32))
+    centers = centers + deltas[:, 0:2] * sizes
+    sizes = sizes * np.exp(deltas[:, 2:4])
+    corner = centers - 0.5 * sizes
+    return np.concatenate([corner, corner + sizes], axis=1)
 
 
 def box_refinement_np(box, gt_box):
-    """utils.py:468-491."""
-    box = box.astype(np.float32)
-    gt_box = gt_box.astype(np.float32)
-    height = box[:, 2] - box[:, 0]
-    width = box[:, 3] - box[:, 1]
-    center_y = box[:, 0] + 0.5 * height
-    center_x = box[:, 1] + 0.5 * width
-    gt_height = gt_box[:, 2] - gt_box[:, 0]
-    gt_width = gt_box[:, 3] - gt_box[:, 1]
-    gt_center_y = gt_box[:, 0] + 0.5 * gt_height
-    gt_center_x = gt_box[:, 1] + 0.5 * gt_width
-    dy = (gt_center_y - center_y) / height
-    dx = (gt_center_x - center_x) / width
-    dh = np.log(gt_height / height)
-    dw = np.log(gt_width / width)
-    return np.stack([dy, dx, dh, dw], axis=1)
+    """Deltas taking `box` onto `gt_box` (utils.py:468-491)."""
+    centers, sizes = _box_geometry_np(box.astype(np.float32))
+    gt_centers, gt_sizes = _box_geometry_np(gt_box.astype(np.float32))
+    return np.concatenate(
+        [(gt_centers - centers) / sizes, np.log(gt_sizes / sizes)], axis=1)
 
 
 def extract_bboxes_np(mask):
-    """Tight boxes from masks [H, W, N] -> [N, (y1, x1, y2, x2)]
-    (utils.py:293-316)."""
-    boxes = np.zeros([mask.shape[-1], 4], dtype=np.int32)
-    for i in range(mask.shape[-1]):
-        m = mask[:, :, i]
-        horizontal_indicies = np.where(np.any(m, axis=0))[0]
-        vertical_indicies = np.where(np.any(m, axis=1))[0]
-        if horizontal_indicies.shape[0]:
-            x1, x2 = horizontal_indicies[[0, -1]]
-            y1, y2 = vertical_indicies[[0, -1]]
-            # x2/y2 shouldn't be part of the box: increment by 1
-            x2 += 1
-            y2 += 1
-        else:
-            x1, x2, y1, y2 = 0, 0, 0, 0
-        boxes[i] = np.array([y1, x1, y2, x2])
-    return boxes.astype(np.int32)
+    """Tight boxes from masks [H, W, N] -> [N, (y1, x1, y2, x2)], exclusive
+    bottom-right; all-empty masks give the zero box (utils.py:293-316).
+    Vectorized over instances via argmax on the row/column occupancy."""
+    h, w, _ = mask.shape
+    cols = mask.any(axis=0)                      # [W, N]
+    rows = mask.any(axis=1)                      # [H, N]
+    x1 = cols.argmax(axis=0)
+    y1 = rows.argmax(axis=0)
+    x2 = w - cols[::-1].argmax(axis=0)           # last occupied col + 1
+    y2 = h - rows[::-1].argmax(axis=0)
+    boxes = np.stack([y1, x1, y2, x2], axis=1).astype(np.int32)
+    boxes[~cols.any(axis=0)] = 0
+    return boxes
+
+
+# Pixel <-> normalized coordinates, (h-1, w-1) denominator with the
+# bottom-right corner shifted in by one pixel (utils.py:1112-1143).
+
+def _norm_coeffs(shape):
+    h, w = shape
+    return (np.array([h - 1, w - 1, h - 1, w - 1]), np.array([0, 0, 1, 1]))
 
 
 def norm_boxes_np(boxes, shape):
-    """utils.py:1112-1126."""
-    h, w = shape
-    scale = np.array([h - 1, w - 1, h - 1, w - 1])
-    shift = np.array([0, 0, 1, 1])
-    return np.divide((boxes - shift), scale).astype(np.float32)
+    scale, shift = _norm_coeffs(shape)
+    return ((boxes - shift) / scale).astype(np.float32)
 
 
 def denorm_boxes_np(boxes, shape):
-    """utils.py:1129-1143."""
-    h, w = shape
-    scale = np.array([h - 1, w - 1, h - 1, w - 1])
-    shift = np.array([0, 0, 1, 1])
-    return np.around(np.multiply(boxes, scale) + shift).astype(np.int32)
+    scale, shift = _norm_coeffs(shape)
+    return np.around(boxes * scale + shift).astype(np.int32)

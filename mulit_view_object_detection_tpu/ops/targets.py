@@ -133,67 +133,70 @@ def detection_targets_batch(rng, proposals, gt_class_ids, gt_boxes, gt_masks,
     )(rngs, proposals, gt_class_ids, gt_boxes, gt_masks)
 
 
+def _demote_excess(labels, value, budget, rnd):
+    """Randomly flip `value`-labeled anchors back to neutral (0) until at
+    most `budget` remain — the RPN minibatch balancer."""
+    slots = np.nonzero(labels == value)[0]
+    surplus = slots.size - budget
+    if surplus > 0:
+        labels[rnd.choice(slots, surplus, replace=False)] = 0
+
+
 def build_rpn_targets(anchors, gt_class_ids, gt_boxes, config,
                       rnd_state=None):
-    """Host-side RPN anchor matching (model.py:1449-1557).
+    """Host-side RPN anchor labeling + regression targets
+    (model.py:1449-1557 semantics).
 
-    anchors: [A, 4] pixel coords. gt_class_ids: [G]. gt_boxes: [G, 4] pixels.
-    Returns (rpn_match [A] in {-1, 0, 1},
-             rpn_bbox [RPN_TRAIN_ANCHORS_PER_IMAGE, 4] normalized deltas).
+    anchors: [A, 4] pixel coords. gt_class_ids: [G] (negative = COCO
+    crowd). gt_boxes: [G, 4] pixels. Returns (rpn_match [A] in {-1, 0, 1},
+    rpn_bbox [RPN_TRAIN_ANCHORS_PER_IMAGE, 4] std-dev-normalized deltas
+    packed densely in positive-anchor order).
+
+    Labeling rules, applied in this order so later rules win:
+      1. anchors under every GT's 0.3 IoU -> negative (unless the anchor
+         touches a crowd box, which makes it neutral);
+      2. each GT's best-overlapping anchor -> positive (guarantees every
+         GT owns at least one anchor, ties included);
+      3. any anchor at IoU >= 0.7 -> positive.
+    Then each side is randomly thinned to fit the train-anchor budget
+    (half positive at most).
     """
     rnd = rnd_state or np.random
-    rpn_match = np.zeros([anchors.shape[0]], dtype=np.int32)
+    num_anchors = anchors.shape[0]
+    rpn_match = np.zeros(num_anchors, dtype=np.int32)
     rpn_bbox = np.zeros((config.RPN_TRAIN_ANCHORS_PER_IMAGE, 4))
 
-    # COCO crowds: exclude from training (model.py:1468-1482)
-    crowd_ix = np.where(gt_class_ids < 0)[0]
-    if crowd_ix.shape[0] > 0:
-        non_crowd_ix = np.where(gt_class_ids > 0)[0]
-        crowd_boxes = gt_boxes[crowd_ix]
-        gt_class_ids = gt_class_ids[non_crowd_ix]
-        gt_boxes = gt_boxes[non_crowd_ix]
-        crowd_overlaps = compute_overlaps_np(anchors, crowd_boxes)
-        crowd_iou_max = np.amax(crowd_overlaps, axis=1)
-        no_crowd_bool = (crowd_iou_max < 0.001)
-    else:
-        no_crowd_bool = np.ones([anchors.shape[0]], dtype=bool)
+    # crowd instances are excluded from matching; anchors overlapping a
+    # crowd region must not become negatives
+    is_crowd = gt_class_ids < 0
+    clear_of_crowds = np.ones(num_anchors, dtype=bool)
+    if is_crowd.any():
+        crowd_iou = compute_overlaps_np(anchors, gt_boxes[is_crowd])
+        clear_of_crowds = crowd_iou.max(axis=1) < 0.001
+        keep = gt_class_ids > 0
+        gt_class_ids, gt_boxes = gt_class_ids[keep], gt_boxes[keep]
 
     if gt_boxes.shape[0] == 0:
-        rpn_match[no_crowd_bool] = -1
+        rpn_match[clear_of_crowds] = -1
         return rpn_match, rpn_bbox
 
-    overlaps_m = compute_overlaps_np(anchors, gt_boxes)
+    iou = compute_overlaps_np(anchors, gt_boxes)
+    best_gt = iou.argmax(axis=1)                       # per anchor
+    best_iou = iou[np.arange(num_anchors), best_gt]
 
-    # 1. negatives first, 2. per-GT best anchor forced positive,
-    # 3. high-IoU positives (model.py:1490-1510)
-    anchor_iou_argmax = np.argmax(overlaps_m, axis=1)
-    anchor_iou_max = overlaps_m[np.arange(overlaps_m.shape[0]),
-                                anchor_iou_argmax]
-    rpn_match[(anchor_iou_max < 0.3) & no_crowd_bool] = -1
-    gt_iou_argmax = np.argwhere(
-        overlaps_m == np.max(overlaps_m, axis=0))[:, 0]
-    rpn_match[gt_iou_argmax] = 1
-    rpn_match[anchor_iou_max >= 0.7] = 1
+    rpn_match[(best_iou < 0.3) & clear_of_crowds] = -1
+    # every GT keeps its best anchor(s), even below 0.7 (ties all count)
+    forced = np.argwhere(iou == iou.max(axis=0))[:, 0]
+    rpn_match[forced] = 1
+    rpn_match[best_iou >= 0.7] = 1
 
-    # balance (model.py:1512-1528)
-    ids = np.where(rpn_match == 1)[0]
-    extra = len(ids) - (config.RPN_TRAIN_ANCHORS_PER_IMAGE // 2)
-    if extra > 0:
-        ids = rnd.choice(ids, extra, replace=False)
-        rpn_match[ids] = 0
-    ids = np.where(rpn_match == -1)[0]
-    extra = len(ids) - (config.RPN_TRAIN_ANCHORS_PER_IMAGE -
-                        np.sum(rpn_match == 1))
-    if extra > 0:
-        ids = rnd.choice(ids, extra, replace=False)
-        rpn_match[ids] = 0
+    budget = config.RPN_TRAIN_ANCHORS_PER_IMAGE
+    _demote_excess(rpn_match, 1, budget // 2, rnd)
+    _demote_excess(rpn_match, -1, budget - int(np.sum(rpn_match == 1)), rnd)
 
-    # deltas for positives, in anchor order, / RPN_BBOX_STD_DEV
-    # (model.py:1530-1557)
-    ids = np.where(rpn_match == 1)[0]
-    if len(ids) > 0:
-        deltas = box_refinement_np(anchors[ids],
-                                   gt_boxes[anchor_iou_argmax[ids]])
-        deltas /= config.RPN_BBOX_STD_DEV
-        rpn_bbox[:len(ids)] = deltas
+    positives = np.nonzero(rpn_match == 1)[0]
+    if positives.size:
+        deltas = box_refinement_np(anchors[positives],
+                                   gt_boxes[best_gt[positives]])
+        rpn_bbox[:positives.size] = deltas / config.RPN_BBOX_STD_DEV
     return rpn_match, rpn_bbox
