@@ -204,7 +204,17 @@ def main(argv=None):
                         help="Path to Matterport COCO h5 (for --model coco)")
     parser.add_argument("--logs", default=DEFAULT_LOGS_DIR)
     parser.add_argument("--limit", type=int, default=0)
+    # multi-host launch (one process per host): also honors cluster env
+    # vars (SLURM/TPU pod) with no flags — see parallel.mesh
+    parser.add_argument("--coordinator", default=None,
+                        help="coordinator host:port for jax.distributed")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args(argv)
+    from ..parallel.mesh import init_distributed
+    init_distributed(coordinator_address=args.coordinator,
+                     num_processes=args.num_processes,
+                     process_id=args.process_id)
     if args.command == "train":
         cmd_train(args)
     elif args.command == "evaluate":

@@ -358,18 +358,41 @@ class MaskRCNN:
         train_step = make_train_step(cfg, stage=layers)
         val_step = make_val_step(cfg) if val_dataset is not None else None
 
+        # multi-host data parallelism: each process loads its share of the
+        # global batch; params replicate over the global mesh and GSPMD
+        # inserts the gradient all-reduce (call parallel.mesh.
+        # init_distributed before constructing the engine).
+        nproc = jax.process_count()
+        local_bs = cfg.BATCH_SIZE
+        globalize = lambda b: b  # noqa: E731
+        if nproc > 1:
+            from ..parallel.mesh import (batch_sharding, globalize_batch,
+                                         make_mesh, replicated)
+            assert cfg.BATCH_SIZE % nproc == 0, \
+                f"BATCH_SIZE {cfg.BATCH_SIZE} not divisible by " \
+                f"{nproc} processes"
+            local_bs = cfg.BATCH_SIZE // nproc
+            mesh = make_mesh()
+            shardings = batch_sharding(mesh)
+            state = jax.device_put(state, replicated(mesh))
+            globalize = lambda b: globalize_batch(b, shardings)  # noqa: E731
+
         with_depth = bool(cfg.TRANSFORMER)
+        # decorrelate per-host loading; keep the step rng host-identical
+        host_off = jax.process_index() * 1000003
         prefetcher = BatchPrefetcher(
-            lambda seed: make_batch(train_dataset, cfg, rnd_state=seed,
+            lambda seed: make_batch(train_dataset, cfg,
+                                    rnd_state=seed + host_off,
                                     with_depth=with_depth,
-                                    augmentation=augmentation),
+                                    augmentation=augmentation,
+                                    batch_size=local_bs),
             num_threads=prefetch_threads)
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         try:
             for epoch in range(self.epoch, epochs):
                 metrics_acc = {}
                 for _ in range(cfg.STEPS_PER_EPOCH):
-                    batch = next(prefetcher)
+                    batch = globalize(next(prefetcher))
                     self._rng, step_rng = jax.random.split(self._rng)
                     state, metrics = train_step(state, batch, step_rng)
                     for k_, v_ in metrics.items():
@@ -379,9 +402,10 @@ class MaskRCNN:
                 if val_step is not None:
                     val_acc = {}
                     for vstep in range(cfg.VALIDATION_STEPS):
-                        vbatch = make_batch(val_dataset, cfg,
-                                            rnd_state=epoch * 10007 + vstep,
-                                            with_depth=with_depth)
+                        vbatch = globalize(make_batch(
+                            val_dataset, cfg,
+                            rnd_state=epoch * 10007 + vstep + host_off,
+                            with_depth=with_depth, batch_size=local_bs))
                         self._rng, vrng = jax.random.split(self._rng)
                         vmetrics = val_step(state, vbatch, vrng)
                         for k_, v_ in vmetrics.items():

@@ -179,16 +179,19 @@ def make_sample(dataset, config, view_ids, rnd_state=None,
 
 
 def make_batch(dataset, config, rnd_state=None, with_depth=False,
-               keys=None, augmentation=None):
-    """One batch of BATCH_SIZE multi-view samples + normalized anchors."""
+               keys=None, augmentation=None, batch_size=None):
+    """One batch of multi-view samples + normalized anchors. `batch_size`
+    defaults to config.BATCH_SIZE; multi-host training passes the per-host
+    share instead (parallel.mesh.host_local_batch_slice)."""
     from ..ops.anchors import get_anchors
 
     cfg = config
+    batch_size = batch_size if batch_size is not None else cfg.BATCH_SIZE
     rnd = np.random.RandomState(rnd_state)
     keys = keys if keys is not None else list(dataset.view_map.keys())
     samples = []
     errors = 0
-    while len(samples) < cfg.BATCH_SIZE:
+    while len(samples) < batch_size:
         try:
             key = keys[rnd.randint(len(keys))]
             view_ids = dataset.load_view(cfg.NUM_VIEWS, key,

@@ -138,3 +138,18 @@ def host_local_batch_slice(global_batch_size):
     per = global_batch_size // n
     start = jax.process_index() * per
     return slice(start, start + per)
+
+
+def globalize_batch(batch, shardings):
+    """Assemble global arrays from this process's local batch shard
+    (multi-host DP: every host loads its own slice of the `data` axis and
+    the global array is stitched logically — no host ever materializes the
+    full batch). Keys without a sharding pass through unchanged."""
+    out = {}
+    for k, v in batch.items():
+        if k in shardings:
+            out[k] = jax.make_array_from_process_local_data(
+                shardings[k], np.asarray(v))
+        else:
+            out[k] = v
+    return out

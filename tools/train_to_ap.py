@@ -1,0 +1,172 @@
+"""Train-to-mAP harness: prove the detector DETECTS, end to end.
+
+Trains the multi-view conv3d configuration from scratch on procedurally
+generated synthetic scenes (data/synthetic.py — true pinhole projection,
+consistent multi-view geometry) and measures mask AP@0.5 through the REAL
+evaluation path: cli.interior_multi._eval_views -> compat.MaskRCNN.detect
+-> eval.metrics.compute_ap, i.e. the same protocol as the reference's
+InteriorNet evaluation (samples/interior/interior_multi.py:504-565).
+
+One command:
+
+    python tools/train_to_ap.py --steps 3000            # real TPU chip
+    JAX_PLATFORMS=cpu python tools/train_to_ap.py --steps 60 --smoke
+
+Notes (learned the hard way, see BENCH_NOTES.md):
+  * TRAIN_BN=True — the reference default (False) assumes pretrained BN
+    statistics; from scratch it freezes BN at init and the net collapses.
+  * ZERO_PG_LEVELS=() — at 64 px every ROI routes to P2/P3, which the
+    faithful multi-view memory cap would zero out.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def build_config(image_size, num_views):
+    from mulit_view_object_detection_tpu.config import Config
+
+    class TrainToAPConfig(Config):
+        NAME = "train_to_ap"
+        NUM_CLASSES = 4
+        NUM_VIEWS = num_views
+        BACKBONE = "resnet50"
+        TOP_DOWN_PYRAMID_SIZE = 64
+        FPN_CLASSIF_FC_LAYERS_SIZE = 128
+        IMAGE_MIN_DIM = image_size
+        IMAGE_MAX_DIM = image_size
+        RPN_ANCHOR_SCALES = (8, 16, 32, 64, 128)
+        PRE_NMS_LIMIT = 512
+        POST_NMS_ROIS_TRAINING = 64
+        POST_NMS_ROIS_INFERENCE = 64
+        TRAIN_ROIS_PER_IMAGE = 32
+        DETECTION_MAX_INSTANCES = 8
+        DETECTION_MIN_CONFIDENCE = 0.5
+        MAX_GT_INSTANCES = 8
+        GRID_REAS = "conv3d"
+        nvox = 16
+        nvox_z = 16
+        vmin, vmax = -2.0, 2.0
+        vmin_z, vmax_z = 1.0, 7.0
+        samples = 8
+        LEARNING_RATE = 0.002
+        TRAIN_BN = True          # from-scratch training (see module doc)
+        ZERO_PG_LEVELS = ()      # small-scale ROIs live on P2/P3
+        USE_MINI_MASK = True
+        MINI_MASK_SHAPE = (28, 28)
+
+    return TrainToAPConfig()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--steps", type=int, default=3000)
+    parser.add_argument("--image-size", type=int, default=64)
+    parser.add_argument("--num-views", type=int, default=2)
+    parser.add_argument("--scenes", type=int, default=4)
+    parser.add_argument("--eval-every", type=int, default=0,
+                        help="0 = eval only at the end")
+    parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument("--lr-drop", type=float, default=0.75,
+                        help="fraction of steps after which LR /= 10")
+    parser.add_argument("--out", default=None, help="write JSON here")
+    parser.add_argument("--smoke", action="store_true",
+                        help="CPU smoke: no AP threshold enforced")
+    args = parser.parse_args(argv)
+
+    import jax
+    from mulit_view_object_detection_tpu.cli.interior_multi import _eval_views
+    from mulit_view_object_detection_tpu.compat.model import MaskRCNN
+    from mulit_view_object_detection_tpu.data.generator import make_batch
+    from mulit_view_object_detection_tpu.data.synthetic import (
+        SyntheticMultiViewDataset)
+    from mulit_view_object_detection_tpu.models.detector import (
+        MaskRCNN as Model)
+    from mulit_view_object_detection_tpu.train.optim import make_optimizer
+    from mulit_view_object_detection_tpu.train.step import (
+        create_train_state, make_train_step)
+
+    cfg = build_config(args.image_size, args.num_views)
+    ds = SyntheticMultiViewDataset(
+        num_scenes=args.scenes, num_views=args.num_views,
+        image_size=args.image_size, num_classes=cfg.NUM_CLASSES,
+        seed=args.seed)
+
+    model = Model(cfg)
+    batch0 = make_batch(ds, cfg, rnd_state=0)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(args.seed),
+                               batch0)
+    train_step = make_train_step(cfg, stage="all", donate=False)
+
+    # inference engine sharing the training parameters
+    class EvalConfig(type(cfg)):
+        DETECTION_MIN_CONFIDENCE = 0.5
+    eval_cfg = EvalConfig()
+    engine = MaskRCNN("inference", eval_cfg, "/tmp/train_to_ap_logs")
+    engine._ensure_state()
+
+    def evaluate(state):
+        engine._state = engine._state.replace(
+            params=state.params, batch_stats=state.batch_stats)
+        keys = list(ds.view_map.keys())
+        return _eval_views(ds, eval_cfg, engine, keys, args.num_views,
+                           rnd_state=0)
+
+    rng = jax.random.PRNGKey(args.seed + 100)
+    drop_at = int(args.steps * args.lr_drop)
+    t0 = time.time()
+    losses = []
+    history = []
+    for step in range(args.steps):
+        if step == drop_at:   # stage-style fine-tune at LR/10
+            tx = make_optimizer(cfg.LEARNING_RATE / 10,
+                                cfg.LEARNING_MOMENTUM,
+                                cfg.GRADIENT_CLIP_NORM)
+            state = state.replace(tx=tx, opt_state=tx.init(state.params))
+        batch = make_batch(ds, cfg, rnd_state=step)
+        rng, srng = jax.random.split(rng)
+        state, metrics = train_step(state, batch, srng)
+        losses.append(float(metrics["loss"]))
+        if step % 100 == 0 or step == args.steps - 1:
+            print(f"step {step}: loss={losses[-1]:.4f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+        if args.eval_every and (step + 1) % args.eval_every == 0:
+            ap = evaluate(state)
+            history.append({"step": step + 1, "ap50": ap})
+            print(f"step {step + 1}: mask AP@0.5 = {ap:.4f}", flush=True)
+
+    ap = evaluate(state)
+    elapsed = time.time() - t0
+    result = {
+        "metric": "synthetic_train_to_ap50",
+        "ap50": round(ap, 4),
+        "steps": args.steps,
+        "image_size": args.image_size,
+        "num_views": args.num_views,
+        "scenes": args.scenes,
+        "final_loss": round(float(np.mean(losses[-20:])), 4),
+        "initial_loss": round(float(np.mean(losses[:20])), 4),
+        "seconds": round(elapsed, 1),
+        "backend": jax.default_backend(),
+        "history": history,
+    }
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+    if not args.smoke:
+        assert ap >= 0.5, f"mask AP@0.5 = {ap:.4f} < 0.5 target"
+    return result
+
+
+if __name__ == "__main__":
+    main()
