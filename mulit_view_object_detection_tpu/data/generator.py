@@ -10,7 +10,10 @@ regime, SURVEY.md §3.2) with:
     arrays keyed exactly like models.detector.MaskRCNN inputs (GT boxes
     normalized, masks instance-major [G, mh, mw], everything zero-padded to
     static shapes);
-  * `BatchPrefetcher` — a thread-pool prefetch queue keeping the TPU fed.
+  * `BatchPrefetcher` — a thread-pool prefetch queue keeping the TPU fed;
+  * `ProcessPrefetcher` — the same contract over forked worker processes,
+    for GIL-bound sample assembly (the numpy target-building work holds
+    the GIL for most of its runtime, so threads alone cannot scale it).
 
 Error tolerance matches the reference (skip bad images, raise after 5
 consecutive failures, model_multi.py:2284-2293).
@@ -19,6 +22,7 @@ consecutive failures, model_multi.py:2284-2293).
 from __future__ import annotations
 
 import logging
+import multiprocessing
 import queue
 import threading
 
@@ -29,7 +33,7 @@ from ..ops.boxes import extract_bboxes_np, norm_boxes_np
 from ..ops.image_meta import compose_image_meta
 from ..ops.targets import build_rpn_targets
 from .augment import apply_augmentation
-from .molding import minimize_mask, mold_image, resize_image, resize_mask
+from .molding import minimize_mask, resize_image, resize_mask
 
 log = logging.getLogger(__name__)
 
@@ -61,8 +65,9 @@ def load_image_gt(dataset, config, image_id, use_mini_mask=False,
         rnd = rnd if rnd is not None else np.random.RandomState()
         image, mask = apply_augmentation(augmentation, image, mask, rnd)
 
-    # drop instances whose mask was cropped away
-    _idx = np.sum(mask, axis=(0, 1)) > 0
+    # drop instances whose mask was cropped away (bool any — an int sum
+    # over [H, W, N] promotes to int64 and costs real milliseconds here)
+    _idx = np.any(mask, axis=(0, 1))
     mask = mask[:, :, _idx]
     class_ids = class_ids[_idx]
     bbox = extract_bboxes_np(mask)
@@ -95,7 +100,7 @@ def pixel_anchors(config, image_shape):
         _ANCHOR_CACHE[key] = generate_pyramid_anchors(
             config.RPN_ANCHOR_SCALES, config.RPN_ANCHOR_RATIOS,
             backbone_shapes, config.BACKBONE_STRIDES,
-            config.RPN_ANCHOR_STRIDE)
+            config.RPN_ANCHOR_STRIDE).astype(np.float32)
     return _ANCHOR_CACHE[key]
 
 
@@ -132,7 +137,10 @@ def make_sample(dataset, config, view_ids, rnd_state=None,
     # size is.
     ds = hw // cfg.BACKBONE_STRIDES[3]
     depths = (np.zeros((v, ds, ds), np.float32) if with_depth else None)
-    images[0] = mold_image(image, cfg.MEAN_PIXEL)
+    # mold straight into the preallocated batch slot: one fused
+    # subtract-with-cast instead of astype + subtract + copy
+    mean_pixel = np.asarray(cfg.MEAN_PIXEL, np.float32)
+    np.subtract(image, mean_pixel, out=images[0], casting="unsafe")
     R[0] = dataset.load_R(main_id)
     if with_depth:
         depths[0] = dataset.load_depth(main_id, cfg)
@@ -141,7 +149,7 @@ def make_sample(dataset, config, view_ids, rnd_state=None,
         im, _, _, _, _ = resize_image(
             im, min_dim=cfg.IMAGE_MIN_DIM, min_scale=cfg.IMAGE_MIN_SCALE,
             max_dim=cfg.IMAGE_MAX_DIM, mode=cfg.IMAGE_RESIZE_MODE)
-        images[i] = mold_image(im, cfg.MEAN_PIXEL)
+        np.subtract(im, mean_pixel, out=images[i], casting="unsafe")
         R[i] = dataset.load_R(vid)
         if with_depth:
             depths[i] = dataset.load_depth(vid, cfg)
@@ -256,3 +264,64 @@ class BatchPrefetcher:
 
     def close(self):
         self._stop.set()
+
+
+class ProcessPrefetcher:
+    """Fork-based batch prefetcher: each worker process runs `make_fn(seed)`
+    in its own interpreter, so sample assembly scales past the GIL.
+
+    Uses the fork start method (the closure and its captured dataset are
+    inherited, not pickled); finished batches — plain dicts of numpy
+    arrays — come back through a multiprocessing queue. Workers draw
+    disjoint seed streams (seed + worker_index + k * num_procs) so the
+    sample sequence is reproducible for a fixed (seed, num_procs)."""
+
+    def __init__(self, make_fn, num_procs=4, prefetch=8, seed=0):
+        ctx = multiprocessing.get_context("fork")
+        self._queue = ctx.Queue(maxsize=max(prefetch, num_procs))
+        self._stop = ctx.Event()
+        self._procs = [
+            ctx.Process(
+                target=_process_prefetch_worker,
+                args=(make_fn, self._queue, self._stop,
+                      seed + i, num_procs),
+                daemon=True)
+            for i in range(num_procs)]
+        for p in self._procs:
+            p.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self._queue.get()
+
+    def close(self):
+        self._stop.set()
+        # drain so workers blocked on a full queue can see the stop flag
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+        for p in self._procs:
+            p.join(timeout=2.0)
+            if p.is_alive():  # pragma: no cover - stuck worker
+                p.terminate()
+
+
+def _process_prefetch_worker(make_fn, out_queue, stop, seed, stride):
+    while not stop.is_set():
+        try:
+            batch = make_fn(seed)
+        except Exception:  # pragma: no cover
+            log.exception("prefetch worker failed")
+            seed += stride
+            continue
+        seed += stride
+        while not stop.is_set():
+            try:
+                out_queue.put(batch, timeout=0.5)
+                break
+            except queue.Full:
+                continue

@@ -148,9 +148,12 @@ def unmold_mask(mask, bbox, image_shape, threshold=0.5):
 
 
 def mold_image(images, mean_pixel):
-    """Subtract mean pixel, cast float32 (model.py:2719-2724)."""
-    return images.astype(np.float32) - np.asarray(mean_pixel)
+    """Subtract mean pixel, cast float32 (model.py:2719-2724). The mean is
+    cast to float32 first — a float64 mean would promote the whole image
+    and double the host pipeline's memory traffic."""
+    return images.astype(np.float32) - np.asarray(mean_pixel, np.float32)
 
 
 def unmold_image(normalized_images, mean_pixel):
-    return (normalized_images + np.asarray(mean_pixel)).astype(np.uint8)
+    return (normalized_images
+            + np.asarray(mean_pixel, np.float32)).astype(np.uint8)

@@ -56,7 +56,19 @@ class SyntheticScene:
         self.poses = np.stack(self.poses)  # [V, 3, 4]
 
     def render(self, view):
-        """Render view -> (image uint8 [S,S,3], masks [S,S,N], depth [S,S])."""
+        """Render view -> (image uint8 [S,S,3], masks [S,S,N], depth [S,S]).
+
+        Scenes are static, so renders are memoized per view — load_image /
+        load_mask / load_depth each hit this and would otherwise re-render
+        the same frame three times per sample."""
+        cached = getattr(self, "_render_cache", None)
+        if cached is None:
+            cached = self._render_cache = {}
+        if view not in cached:
+            cached[view] = self._render(view)
+        return cached[view]
+
+    def _render(self, view):
         s = self.image_size
         image = np.full((s, s, 3), 30, np.uint8)
         masks = np.zeros((s, s, len(self.centers)), bool)

@@ -135,10 +135,20 @@ def compute_iou_np(box, boxes, box_area, boxes_area):
 
 
 def compute_overlaps_np(boxes1, boxes2):
-    """Pairwise IoU [N1, N2] — one broadcast, no loop."""
-    lo = np.maximum(boxes1[:, None, :2], boxes2[None, :, :2])
-    hi = np.minimum(boxes1[:, None, 2:4], boxes2[None, :, 2:4])
-    inter = np.prod(np.maximum(hi - lo, 0), axis=-1)
+    """Pairwise IoU [N1, N2] — one broadcast, no loop. Coordinates are
+    broadcast per-axis ([N1, N2] planes) rather than stacked into an
+    [N1, N2, 2] block: with ~100k anchors the stacked form's prod-reduce
+    dominates the host input pipeline."""
+    c1 = np.ascontiguousarray(boxes1.T)
+    c2 = np.ascontiguousarray(boxes2.T)
+    ih = np.minimum.outer(c1[2], c2[2])
+    ih -= np.maximum.outer(c1[0], c2[0])
+    iw = np.minimum.outer(c1[3], c2[3])
+    iw -= np.maximum.outer(c1[1], c2[1])
+    np.clip(ih, 0, None, out=ih)
+    np.clip(iw, 0, None, out=iw)
+    ih *= iw
+    inter = ih
     union = _areas_np(boxes1)[:, None] + _areas_np(boxes2)[None, :] - inter
     return inter / union
 

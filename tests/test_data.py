@@ -137,3 +137,26 @@ def test_image_from_source_map_keying():
     assert ds.class_from_source_map["synthetic.1"] == 1
     assert ds.class_names[0] == "BG"
     assert ds.source_class_ids["synthetic"] == [0, 1]
+
+
+def test_prefetchers_deliver_batches():
+    ds = SyntheticMultiViewDataset(num_scenes=2, num_views=3)
+    cfg = DataCfg()
+
+    def make_fn(seed):
+        return make_batch(ds, cfg, rnd_state=seed)
+
+    from mulit_view_object_detection_tpu.data.generator import (
+        BatchPrefetcher, ProcessPrefetcher)
+
+    for cls, kw in ((BatchPrefetcher, {"num_threads": 2}),
+                    (ProcessPrefetcher, {"num_procs": 2})):
+        pf = cls(make_fn, prefetch=4, **kw)
+        try:
+            it = iter(pf)
+            for _ in range(3):
+                batch = next(it)
+                assert batch["images"].shape == (1, 2, 64, 64, 3)
+                assert np.isfinite(batch["images"]).all()
+        finally:
+            pf.close()

@@ -1,0 +1,85 @@
+"""Host input-pipeline throughput (VERDICT round-1 item 9, SURVEY §7 hard
+part 5): can the host generator keep a 100+ fps chip fed?
+
+Measures batches/sec (and frames/sec = batches * BATCH_SIZE * NUM_VIEWS
+image decodes) of BatchPrefetcher over the synthetic multi-view dataset at
+the reference's flagship shape (640^2, 2 views, mini-masks, flip
+augmentation), for several worker counts. Pure host work: image synth /
+resize / mold, mask molding, RPN target building, batching. No device.
+
+  JAX_PLATFORMS=cpu python tools/bench_input.py [--image-size 640]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--image-size", type=int, default=640)
+    p.add_argument("--num-views", type=int, default=2)
+    p.add_argument("--batches", type=int, default=48)
+    p.add_argument("--workers", type=int, nargs="*", default=[1, 4, 8])
+    p.add_argument("--mode", choices=["thread", "process"], default="thread")
+    args = p.parse_args(argv)
+
+    from mulit_view_object_detection_tpu.config import Config
+    from mulit_view_object_detection_tpu.data import augment
+    from mulit_view_object_detection_tpu.data.generator import (
+        BatchPrefetcher, ProcessPrefetcher, make_batch)
+    from mulit_view_object_detection_tpu.data.synthetic import (
+        SyntheticMultiViewDataset)
+
+    class InputBench(Config):
+        NAME = "bench_input"
+        NUM_CLASSES = 23
+        NUM_VIEWS = args.num_views
+        BACKBONE = "resnet50"
+        IMAGE_MIN_DIM = args.image_size
+        IMAGE_MAX_DIM = args.image_size
+        MAX_GT_INSTANCES = 100
+        USE_MINI_MASK = True
+
+    cfg = InputBench()
+    ds = SyntheticMultiViewDataset(
+        num_scenes=8, num_views=args.num_views,
+        image_size=args.image_size, num_classes=4, seed=0)
+    aug = augment.Fliplr(0.5)
+
+    def make_fn(seed):
+        return make_batch(ds, cfg, rnd_state=seed, augmentation=aug)
+
+    for workers in args.workers:
+        if args.mode == "process":
+            pf = ProcessPrefetcher(make_fn, num_procs=workers, prefetch=8)
+        else:
+            pf = BatchPrefetcher(make_fn, num_threads=workers, prefetch=8)
+        it = iter(pf)
+        next(it)  # warm caches (anchors etc.)
+        t0 = time.perf_counter()
+        for _ in range(args.batches):
+            next(it)
+        dt = time.perf_counter() - t0
+        pf.close()
+        bps = args.batches / dt
+        print(json.dumps({
+            "metric": "host_input_pipeline",
+            "mode": args.mode,
+            "workers": workers,
+            "image_size": args.image_size,
+            "batches_per_sec": round(bps, 2),
+            "frames_per_sec": round(bps * cfg.BATCH_SIZE, 2),
+            "view_images_per_sec": round(
+                bps * cfg.BATCH_SIZE * cfg.NUM_VIEWS, 2),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,198 @@
+"""MFU / roofline report for the flagship configs (VERDICT round-1 item 5).
+
+For each workload (conv3d 2-view inference, full training step) this
+compiles the jitted function, reads XLA's cost analysis (flops + bytes
+accessed), times it with the on-device loop-difference method (see
+bench.py's methodology notes), and reports:
+
+  * model FLOP utilisation  = flops / time / peak_flops
+  * HBM bandwidth utilisation = bytes / time / peak_bw
+  * the roofline-implied bound (compute vs memory) at the measured
+    arithmetic intensity
+
+Peak numbers are for one TPU v5e chip: 197 TFLOP/s bf16, 819 GB/s HBM.
+
+  python tools/mfu_report.py [inference] [train]
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax import lax  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+V5E_PEAK_FLOPS = 197e12   # bf16 MXU, one chip
+V5E_PEAK_BW = 819e9       # HBM bytes/sec, one chip
+
+
+def _cost(compiled):
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+
+def _report(name, flops, byts, ms):
+    secs = ms / 1e3
+    mfu = flops / secs / V5E_PEAK_FLOPS
+    bwu = byts / secs / V5E_PEAK_BW
+    intensity = flops / max(byts, 1.0)
+    ridge = V5E_PEAK_FLOPS / V5E_PEAK_BW  # flop/byte where compute == BW
+    bound = "compute" if intensity >= ridge else "memory"
+    # time floors implied by each roof
+    t_flops = flops / V5E_PEAK_FLOPS * 1e3
+    t_bw = byts / V5E_PEAK_BW * 1e3
+    print(json.dumps({
+        "workload": name,
+        "ms": round(ms, 2),
+        "gflops": round(flops / 1e9, 1),
+        "gbytes": round(byts / 1e9, 2),
+        "mfu": round(mfu, 4),
+        "hbm_bw_util": round(bwu, 4),
+        "arith_intensity_flop_per_byte": round(intensity, 1),
+        "ridge_flop_per_byte": round(ridge, 1),
+        "roofline_bound": bound,
+        "roofline_floor_ms": round(max(t_flops, t_bw), 2),
+        "speed_of_light_frac": round(max(t_flops, t_bw) / ms, 3),
+    }), flush=True)
+
+
+def time_loop(fn_loop, args, short=2, long=12, fetch=np.asarray):
+    def run(iters):
+        t0 = time.perf_counter()
+        out = fn_loop(*args, iters)
+        _ = fetch(out)
+        return time.perf_counter() - t0
+
+    run(short)
+    run(long)
+    ts = run(short)
+    tl = run(long)
+    return (tl - ts) / (long - short) * 1e3
+
+
+def inference_report():
+    from tools.profile_variants import variant_config
+    from mulit_view_object_detection_tpu.models.detector import (
+        MaskRCNN, make_dummy_batch)
+
+    cfg = variant_config("conv3d")
+    model = MaskRCNN(cfg)
+    batch = make_dummy_batch(cfg, training=False)
+    rng = np.random.RandomState(0)
+    batch["images"] = rng.randn(*batch["images"].shape).astype(
+        np.float32) * 50.0
+    batch = {k: jax.device_put(v) for k, v in batch.items()}
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, batch, training=False)
+
+    @jax.jit
+    def infer(variables, batch):
+        return model.apply(variables, batch, training=False)["detections"]
+
+    flops, byts = _cost(infer.lower(variables, batch).compile())
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def infer_loop(variables, batch, iters):
+        def body(i, det):
+            chained = dict(batch)
+            chained["images"] = batch["images"] + det[0, 0, 0] * 0.0
+            return model.apply(variables, chained, training=False)[
+                "detections"]
+
+        det0 = jnp.zeros((cfg.BATCH_SIZE, cfg.DETECTION_MAX_INSTANCES, 6),
+                         jnp.float32)
+        return lax.fori_loop(0, iters, body, det0)
+
+    ms = time_loop(infer_loop, (variables, batch))
+    _report("conv3d_2view_640_inference", flops, byts, ms)
+
+
+def train_report():
+    from bench_train import main as _  # noqa: F401  (same config shapes)
+    from mulit_view_object_detection_tpu.config import Config
+    from mulit_view_object_detection_tpu.models.detector import (
+        MaskRCNN, make_dummy_batch)
+    from mulit_view_object_detection_tpu.train.step import (
+        create_train_state, make_train_step)
+
+    class TrainBench(Config):
+        NAME = "mfu_train"
+        NUM_CLASSES = 23
+        NUM_VIEWS = 2
+        BACKBONE = "resnet50"
+        TOP_DOWN_PYRAMID_SIZE = 64
+        GRID_REAS = "conv3d"
+        IMAGE_MIN_DIM = 640
+        IMAGE_MAX_DIM = 640
+        PRE_NMS_LIMIT = 1500
+        POST_NMS_ROIS_TRAINING = 500
+        TRAIN_ROIS_PER_IMAGE = 200
+        DETECTION_MAX_INSTANCES = 100
+        MAX_GT_INSTANCES = 100
+        nvox = 40
+        nvox_z = 40
+        vmin, vmax = -2.5, 2.5
+        vmin_z, vmax_z = 1.0, 10.0
+        samples = 20
+        COMPUTE_DTYPE = "bfloat16"
+
+    cfg = TrainBench()
+    model = MaskRCNN(cfg)
+    batch = make_dummy_batch(cfg, training=True)
+    rng = np.random.RandomState(0)
+    batch["images"] = rng.randn(*batch["images"].shape).astype(
+        np.float32) * 50.0
+    batch["gt_class_ids"][:, :3] = [1, 2, 3]
+    batch["gt_boxes"][:, 0] = [0.2, 0.2, 0.5, 0.5]
+    batch["gt_boxes"][:, 1] = [0.5, 0.5, 0.8, 0.8]
+    batch["gt_boxes"][:, 2] = [0.3, 0.55, 0.6, 0.9]
+    batch["gt_masks"][:, :3] = 1.0
+    a = batch["anchors"].shape[0]
+    batch["rpn_match"] = np.zeros((cfg.BATCH_SIZE, a), np.int32)
+    batch["rpn_match"][:, :32] = 1
+    batch["rpn_match"][:, 32:256] = -1
+    batch["rpn_bbox"] = np.zeros(
+        (cfg.BATCH_SIZE, cfg.RPN_TRAIN_ANCHORS_PER_IMAGE, 4), np.float32)
+    batch = {k: jax.device_put(v) for k, v in batch.items()}
+
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
+    train_step = make_train_step(cfg, stage="all", donate=False)
+
+    step_rng = jax.random.PRNGKey(3)
+    flops, byts = _cost(
+        jax.jit(train_step).lower(state, batch, step_rng).compile())
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def train_loop(state, batch, iters):
+        def body(i, carry):
+            st, rng_ = carry
+            rng_, srng = jax.random.split(rng_)
+            st, _ = train_step(st, batch, srng)
+            return st, rng_
+
+        return lax.fori_loop(0, iters, body, (state, jax.random.PRNGKey(7)))
+
+    ms = time_loop(train_loop, (state, batch), short=1, long=6,
+                   fetch=lambda out: np.asarray(out[0].step))
+    _report("conv3d_2view_640_train_step", flops, byts, ms)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or ["inference", "train"]
+    if "inference" in which:
+        inference_report()
+    if "train" in which:
+        train_report()
