@@ -185,17 +185,23 @@ def _bwd_rule(fh, fw, tile, res, g):
 bilinear_gather.defvjp(_fwd_rule, _bwd_rule)
 
 
-def auto_tile(p):
+def auto_tile(p, c=64):
     """Voxel-tile size: as large as VMEM allows (fewer grid steps amortize
     per-tile DMA/sync overhead — measured to dominate for small-P levels).
-    Kernel temporaries (iota + compare + W) cost ~3x the W [tile, P] f32
-    bytes; keep tile*P <= ~1.6M elements (empirically fits the 16 MB
-    scoped-vmem limit at P=1600/tile=1024)."""
+    Two independent ceilings, both from the 16 MB scoped-vmem limit:
+      * W temporaries (iota + compare + W) cost ~3x the W [tile, P] f32
+        bytes -> tile*P <= ~1.6M elements (empirically fits at
+        P=1600/tile=1024);
+      * the double-buffered [tile, C] f32 output block -> tile*C <= 512K
+        elements (a C=256 level at tile=4096 alone overflows the stack)."""
     if p >= 1024:
-        return 1024
-    if p >= 256:
-        return 2048
-    return 4096
+        tile = 1024
+    elif p >= 256:
+        tile = 2048
+    else:
+        tile = 4096
+    c_cap = max(128, (512 * 1024 // max(c, 1)) // 128 * 128)
+    return min(tile, c_cap)
 
 
 def unproject_features_pallas(feats, Rcam, Kmat, image_shape, grid_pts,
@@ -224,6 +230,6 @@ def unproject_features_pallas(feats, Rcam, Kmat, image_shape, grid_pts,
 
     flat = feats.reshape(b * v, fh * fw, c)
     if tile is None:
-        tile = auto_tile(fh * fw)
+        tile = auto_tile(fh * fw, c)
     out = bilinear_gather(flat, x, y, fh, fw, tile)
     return out.reshape(b, v, nx, ny, nz, c)
