@@ -38,8 +38,13 @@ def _load():
     try:
         if (not os.path.exists(so_path)
                 or os.path.getmtime(so_path) < os.path.getmtime(src)):
+            # -ffp-contract=off: anchor_gt_match's tie detection relies on
+            # float32 results matching numpy bit-for-bit (no FMA fusion —
+            # min/max/div stay IEEE-exact under -march=native, which is
+            # what lets the anchor loops use the host's full vector ISA)
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", so_path, src],
+                ["g++", "-O3", "-ffp-contract=off", "-march=native",
+                 "-shared", "-fPIC", "-o", so_path, src],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(so_path)
         lib.extract_instances.restype = ctypes.c_int
@@ -53,6 +58,12 @@ def _load():
         lib.extract_bboxes.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
+        lib.anchor_gt_match.restype = None
+        lib.anchor_gt_match.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8)]
         _LIB = lib
     except Exception:  # pragma: no cover — toolchain missing
         log.exception("native maskops unavailable; using numpy fallback")
@@ -114,6 +125,31 @@ def extract_instances(instance_im, nyu_im, nyu_map, max_inst=256):
                 np.array(boxes, np.int32))
     return (np.zeros((0, h, w), bool), np.zeros(0, np.int32),
             np.zeros((0, 4), np.int32))
+
+
+def anchor_gt_match(anchors, gt_boxes):
+    """Per-anchor best GT + per-GT forced-anchor flags, without the [A, G]
+    IoU matrix (native/maskops.cpp::anchor_gt_match).
+
+    anchors: [A, 4] float32, gt_boxes: [G, 4] float32 (both contiguous).
+    Returns (best_gt [A] int32, best_iou [A] f32, forced [A] bool), or
+    None when the native library is unavailable (caller falls back to the
+    numpy matrix path)."""
+    lib = _load()
+    if lib is None or gt_boxes.shape[0] == 0 or gt_boxes.shape[0] > 256:
+        return None
+    a = anchors.shape[0]
+    anchors = np.ascontiguousarray(anchors, np.float32)
+    gt_boxes = np.ascontiguousarray(gt_boxes, np.float32)
+    best_gt = np.empty(a, np.int32)
+    best_iou = np.empty(a, np.float32)
+    forced = np.empty(a, np.uint8)
+    lib.anchor_gt_match(
+        _ptr(anchors, ctypes.c_float), a,
+        _ptr(gt_boxes, ctypes.c_float), gt_boxes.shape[0],
+        _ptr(best_gt, ctypes.c_int32), _ptr(best_iou, ctypes.c_float),
+        _ptr(forced, ctypes.c_uint8))
+    return best_gt, best_iou, forced.astype(bool)
 
 
 def extract_bboxes(masks):

@@ -133,6 +133,23 @@ def detection_targets_batch(rng, proposals, gt_class_ids, gt_boxes, gt_masks,
     )(rngs, proposals, gt_class_ids, gt_boxes, gt_masks)
 
 
+def _match_anchors(anchors, gt_boxes):
+    """(best_gt [A], best_iou [A], forced [A] bool) — per-anchor argmax/max
+    IoU and the every-GT-keeps-its-best-anchor tie set. Uses the one-pass
+    C++ reduction (native/maskops.cpp) when available; the numpy matrix
+    path is bit-identical (same float32 op order, no FMA)."""
+    from ..data.native import anchor_gt_match
+
+    nat = anchor_gt_match(anchors, gt_boxes)
+    if nat is not None:
+        return nat
+    iou = compute_overlaps_np(anchors, gt_boxes)
+    best_gt = iou.argmax(axis=1)
+    best_iou = iou[np.arange(anchors.shape[0]), best_gt]
+    forced = (iou == iou.max(axis=0)).any(axis=1)
+    return best_gt, best_iou, forced
+
+
 def _demote_excess(labels, value, budget, rnd):
     """Randomly flip `value`-labeled anchors back to neutral (0) until at
     most `budget` remain — the RPN minibatch balancer."""
@@ -171,8 +188,8 @@ def build_rpn_targets(anchors, gt_class_ids, gt_boxes, config,
     is_crowd = gt_class_ids < 0
     clear_of_crowds = np.ones(num_anchors, dtype=bool)
     if is_crowd.any():
-        crowd_iou = compute_overlaps_np(anchors, gt_boxes[is_crowd])
-        clear_of_crowds = crowd_iou.max(axis=1) < 0.001
+        crowd = _match_anchors(anchors, gt_boxes[is_crowd])
+        clear_of_crowds = crowd[1] < 0.001
         keep = gt_class_ids > 0
         gt_class_ids, gt_boxes = gt_class_ids[keep], gt_boxes[keep]
 
@@ -180,13 +197,10 @@ def build_rpn_targets(anchors, gt_class_ids, gt_boxes, config,
         rpn_match[clear_of_crowds] = -1
         return rpn_match, rpn_bbox
 
-    iou = compute_overlaps_np(anchors, gt_boxes)
-    best_gt = iou.argmax(axis=1)                       # per anchor
-    best_iou = iou[np.arange(num_anchors), best_gt]
+    best_gt, best_iou, forced = _match_anchors(anchors, gt_boxes)
 
     rpn_match[(best_iou < 0.3) & clear_of_crowds] = -1
     # every GT keeps its best anchor(s), even below 0.7 (ties all count)
-    forced = np.argwhere(iou == iou.max(axis=0))[:, 0]
     rpn_match[forced] = 1
     rpn_match[best_iou >= 0.7] = 1
 

@@ -118,4 +118,73 @@ void extract_bboxes(const uint8_t* masks, int n, int h, int w,
   }
 }
 
+// RPN anchor<->GT matching reductions (the host input pipeline's other
+// hot loop, ops/targets.py::build_rpn_targets, model.py:1449-1557
+// semantics). Computes, without materializing the [A, G] IoU matrix:
+//   best_gt[a]  = argmax_g IoU(anchor a, gt g)   (first max wins ties)
+//   best_iou[a] = that max
+//   forced[a]   = 1 iff IoU(a, g) == max_a' IoU(a', g) for some g
+//                 (every GT's best anchor(s), ties included)
+// IoU matches the numpy path bit-for-bit: float32 ops in the same order,
+// no FMA contraction (build uses -ffp-contract=off), so the tie equality
+// in the `forced` pass is exact.
+void anchor_gt_match(const float* anchors, int a, const float* gt, int g,
+                     int32_t* best_gt, float* best_iou, uint8_t* forced) {
+  if (g > 256) g = 256;  // MAX_GT_INSTANCES is 100; hard safety cap
+  // transpose anchors to coordinate planes so the anchor loop vectorizes
+  float* ay1 = new float[(size_t)a * 5];
+  float* ax1 = ay1 + a;
+  float* ay2 = ax1 + a;
+  float* ax2 = ay2 + a;
+  float* a_area = ax2 + a;
+  for (int i = 0; i < a; ++i) {
+    ay1[i] = anchors[i * 4 + 0];
+    ax1[i] = anchors[i * 4 + 1];
+    ay2[i] = anchors[i * 4 + 2];
+    ax2[i] = anchors[i * 4 + 3];
+    a_area[i] = (ay2[i] - ay1[i]) * (ax2[i] - ax1[i]);
+    best_iou[i] = -1.0f;
+    best_gt[i] = 0;
+    forced[i] = 0;
+  }
+  // pass 1, GT-major: each inner anchor loop is branch-free and
+  // auto-vectorizes (including the blended argmax update); the IoU
+  // column is kept so the tie pass below needs no re-division
+  float* iou_mat = new float[(size_t)g * a];
+  float gt_best[256];
+  for (int j = 0; j < g; ++j) {
+    const float gy1 = gt[j * 4 + 0], gx1 = gt[j * 4 + 1];
+    const float gy2 = gt[j * 4 + 2], gx2 = gt[j * 4 + 3];
+    const float g_area = (gy2 - gy1) * (gx2 - gx1);
+    float* col = iou_mat + (size_t)j * a;
+    float jmax = -1.0f;
+    for (int i = 0; i < a; ++i) {
+      float ih = (ay2[i] < gy2 ? ay2[i] : gy2)
+          - (ay1[i] > gy1 ? ay1[i] : gy1);
+      float iw = (ax2[i] < gx2 ? ax2[i] : gx2)
+          - (ax1[i] > gx1 ? ax1[i] : gx1);
+      ih = ih > 0.0f ? ih : 0.0f;
+      iw = iw > 0.0f ? iw : 0.0f;
+      const float inter = ih * iw;
+      const float iou = inter / (a_area[i] + g_area - inter);
+      col[i] = iou;
+      const bool better = iou > best_iou[i];
+      best_iou[i] = better ? iou : best_iou[i];
+      best_gt[i] = better ? j : best_gt[i];
+      jmax = iou > jmax ? iou : jmax;
+    }
+    gt_best[j] = jmax;
+  }
+  // pass 2: mark every anchor that ties a GT's maximum (pure compares)
+  for (int j = 0; j < g; ++j) {
+    const float* col = iou_mat + (size_t)j * a;
+    const float m = gt_best[j];
+    for (int i = 0; i < a; ++i) {
+      forced[i] |= (col[i] == m) ? 1 : 0;
+    }
+  }
+  delete[] iou_mat;
+  delete[] ay1;
+}
+
 }  // extern "C"

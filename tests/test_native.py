@@ -67,3 +67,29 @@ def test_extract_bboxes_native(rng):
     np.testing.assert_array_equal(boxes[0], [4, 6, 10, 12])
     np.testing.assert_array_equal(boxes[1], [0, 0, 32, 1])
     np.testing.assert_array_equal(boxes[2], [0, 0, 0, 0])
+
+
+def test_anchor_gt_match_native_equals_numpy(rng):
+    from mulit_view_object_detection_tpu.ops.boxes import compute_overlaps_np
+
+    anchors = np.sort(rng.uniform(0, 64, (500, 4)).astype(np.float32),
+                      axis=-1)[:, [0, 2, 1, 3]].astype(np.float32)
+    # (y1,x1,y2,x2) with y1<y2, x1<x2
+    anchors = np.concatenate([
+        np.minimum(anchors[:, :2], anchors[:, 2:]),
+        np.maximum(anchors[:, :2], anchors[:, 2:]) + 1.0], axis=1)
+    gt = np.array([[5, 5, 30, 30], [20, 20, 60, 60], [0, 40, 25, 64]],
+                  np.float32)
+
+    nat = native.anchor_gt_match(anchors, gt)
+    if nat is None:  # toolchain unavailable
+        return
+    best_gt, best_iou, forced = nat
+
+    iou = compute_overlaps_np(anchors, gt)
+    np.testing.assert_array_equal(best_gt, iou.argmax(axis=1))
+    np.testing.assert_array_equal(
+        best_iou, iou[np.arange(anchors.shape[0]), iou.argmax(axis=1)])
+    np.testing.assert_array_equal(forced,
+                                  (iou == iou.max(axis=0)).any(axis=1))
+    assert forced.sum() >= gt.shape[0] - 1  # at least one anchor per GT
