@@ -1,11 +1,13 @@
 """Visualization — matplotlib/PIL rendering of detections and masks.
 
 API parity with the reference's visualize module (mrcnn/visualize.py):
-display_instances (:80-150), draw_box (:216), plot_precision_recall
-(:309), draw_boxes (:362), display_table/display_weight_stats (:464/478),
-headless save_image (:506-595). Internals are shared here: one vectorized
-mask blender and one instance-drawing core feed both the interactive and
-the headless entry points.
+display_images (:32-53), display_instances (:80-150), draw_rois
+(:154-214), draw_box (:216), display_detections (:228-284),
+display_top_masks (:286-306), plot_precision_recall (:309), plot_overlaps
+(:323-360), draw_boxes (:362), display_table/display_weight_stats
+(:464/478), headless save_image (:506-595). Internals are shared here:
+one vectorized mask blender and one instance-drawing core feed both the
+interactive and the headless entry points.
 """
 
 from __future__ import annotations
@@ -200,6 +202,171 @@ def draw_boxes(image, boxes=None, refined_boxes=None, masks=None,
             canvas = apply_mask(canvas, masks[:, :, i], colors[i])
     ax.imshow(canvas.astype(np.uint8))
     return ax
+
+
+def display_images(images, titles=None, cols=4, cmap=None, norm=None,
+                   interpolation=None):
+    """Grid layout of images with optional titles (visualize.py:32-53)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    titles = titles if titles is not None else [""] * len(images)
+    rows = (len(images) + cols - 1) // cols
+    fig = plt.figure(figsize=(14, 14 * rows // max(cols, 1)))
+    for slot, (img, label) in enumerate(zip(images, titles), start=1):
+        ax = fig.add_subplot(rows, cols, slot)
+        ax.set_title(label, fontsize=9)
+        ax.axis("off")
+        ax.imshow(img.astype(np.uint8), cmap=cmap, norm=norm,
+                  interpolation=interpolation)
+    return fig
+
+
+def draw_rois(image, rois, refined_rois, mask, class_ids, class_names,
+              limit=10):
+    """Training-debug view of sampled ROIs (visualize.py:154-214): a random
+    subset of `limit` ROIs, each drawn dotted at its proposal position; the
+    positives (class_id > 0) additionally get a solid refined box, an arrow
+    between the two, and their target mask blended in."""
+    ax = _axes(None, (18, 18))
+    sample = np.arange(rois.shape[0])
+    if rois.shape[0] > limit:
+        sample = np.random.choice(sample, limit, replace=False)
+    n_pos = int(np.sum(class_ids > 0))
+    print(f"{rois.shape[0]} rois, {n_pos} positive "
+          f"(showing {len(sample)})")
+
+    margin = image.shape[0] // 10
+    ax.set_ylim(image.shape[0] + margin, -margin)
+    ax.set_xlim(-margin, image.shape[1] + margin)
+    ax.axis("off")
+    ax.set_title(f"ROIs sampled for training ({len(sample)} of "
+                 f"{rois.shape[0]})")
+
+    colors = random_colors(len(sample))
+    canvas = image.astype(np.uint32).copy()
+    for slot, i in enumerate(sample):
+        color = colors[slot]
+        is_pos = class_ids[i] > 0
+        ax.add_patch(_box_patch(rois[i], color if is_pos else "gray",
+                                style="dashed",
+                                alpha=1.0 if is_pos else 0.5))
+        if is_pos:
+            y1, x1, y2, x2 = refined_rois[i].astype(np.int32)
+            ax.add_patch(_box_patch((y1, x1, y2, x2), color))
+            ax.annotate("", (x1, y1), xytext=(rois[i][1], rois[i][0]),
+                        arrowprops=dict(color=color, arrowstyle="-"))
+            label = class_names[class_ids[i]]
+            ax.text(x1, y1 + 8, label, color="w", size=11,
+                    backgroundcolor="none")
+            if mask is not None:
+                canvas = apply_mask(canvas, mask[:, :, i], color)
+    ax.imshow(canvas.astype(np.uint8))
+    return ax
+
+
+def display_detections(image, gt_boxes, boxes, masks, class_ids,
+                       class_names, scores=None):
+    """Detections with dashed boxes, labels, blended masks and mask contour
+    polygons (visualize.py:228-284). gt_boxes is accepted for reference API
+    parity but, as in the reference, not rendered."""
+    from matplotlib.patches import Polygon
+    try:
+        from skimage.measure import find_contours
+    except ImportError:
+        find_contours = None
+
+    assert boxes.shape[0] == masks.shape[-1] == class_ids.shape[0]
+    ax = _axes(None, (20, 20))
+    n = boxes.shape[0]
+    colors = random_colors(max(n, 1))
+    height, width = image.shape[:2]
+    ax.set_ylim(height + 10, -10)
+    ax.set_xlim(-10, width + 10)
+    ax.axis("off")
+
+    canvas = image.astype(np.uint32).copy()
+    for i in range(n):
+        if not np.any(boxes[i]):
+            continue  # padded slot
+        color = colors[i]
+        ax.add_patch(_box_patch(boxes[i], color, style="dashed", alpha=0.7))
+        label = class_names[class_ids[i]]
+        caption = (f"{label} {scores[i]:.3f}" if scores is not None
+                   else label)
+        ax.text(boxes[i][1], boxes[i][0] + 8, caption, color="w", size=11,
+                backgroundcolor="none")
+        canvas = apply_mask(canvas, masks[:, :, i], color)
+        if find_contours is not None:
+            # contours on a 1px-padded mask so edge-touching masks close
+            framed = np.zeros(
+                (masks.shape[0] + 2, masks.shape[1] + 2), np.uint8)
+            framed[1:-1, 1:-1] = masks[:, :, i]
+            for contour in find_contours(framed, 0.5):
+                ax.add_patch(Polygon(np.fliplr(contour) - 1,
+                                     facecolor="none", edgecolor=color))
+    ax.imshow(canvas.astype(np.uint8))
+    return ax
+
+
+def display_top_masks(image, mask, class_ids, class_names, limit=4):
+    """The image plus per-class union masks for the `limit` classes with the
+    largest total mask area (visualize.py:286-306). Each panel sums the
+    class's instance masks weighted by instance index so instances remain
+    distinguishable under a sequential colormap."""
+    panels = [image]
+    titles = [f"H x W={image.shape[0]}x{image.shape[1]}"]
+    present = np.unique(class_ids)
+    areas = {c: int(mask[:, :, class_ids == c].sum()) for c in present}
+    ranked = [c for c in sorted(present, key=lambda c: -areas[c])
+              if areas[c] > 0]
+    for slot in range(limit):
+        cid = ranked[slot] if slot < len(ranked) else -1
+        m = mask[:, :, class_ids == cid] if cid != -1 \
+            else np.zeros(mask.shape[:2] + (0,), mask.dtype)
+        panels.append(np.sum(m * np.arange(1, m.shape[-1] + 1), -1))
+        titles.append(class_names[cid] if cid != -1 else "-")
+    return display_images(panels, titles=titles, cols=limit + 1,
+                          cmap="Blues_r")
+
+
+def plot_overlaps(gt_class_ids, pred_class_ids, pred_scores, overlaps,
+                  class_names, threshold=0.5):
+    """IoU matrix heatmap between predictions (rows) and ground truth
+    (columns) with match/wrong annotations (visualize.py:323-360)."""
+    import itertools
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    gt_class_ids = gt_class_ids[gt_class_ids != 0]
+    pred_class_ids = pred_class_ids[pred_class_ids != 0]
+
+    fig = plt.figure(figsize=(12, 10))
+    plt.imshow(overlaps, interpolation="nearest", cmap=plt.cm.Blues)
+    plt.yticks(np.arange(len(pred_class_ids)),
+               [f"{class_names[int(c)]} ({pred_scores[i]:.2f})"
+                for i, c in enumerate(pred_class_ids)])
+    plt.xticks(np.arange(len(gt_class_ids)),
+               [class_names[int(c)] for c in gt_class_ids], rotation=90)
+
+    mid = overlaps.max() / 2.0
+    for r, c in itertools.product(range(overlaps.shape[0]),
+                                  range(overlaps.shape[1])):
+        verdict = ""
+        if overlaps[r, c] > threshold:
+            verdict = ("match" if gt_class_ids[c] == pred_class_ids[r]
+                       else "wrong")
+        shade = ("white" if overlaps[r, c] > mid
+                 else "black" if overlaps[r, c] > 0 else "grey")
+        plt.text(c, r, f"{overlaps[r, c]:.3f}\n{verdict}",
+                 horizontalalignment="center", verticalalignment="center",
+                 fontsize=9, color=shade)
+    plt.tight_layout()
+    plt.xlabel("Ground Truth")
+    plt.ylabel("Predictions")
+    return fig
 
 
 def plot_precision_recall(AP, precisions, recalls):

@@ -51,6 +51,25 @@ def test_headless_rendering(tmp_path):
     assert (canvas[2, 2:12] == (255, 0, 0)).all()
 
 
+def test_debug_renderers():
+    """Smoke the notebook-oriented renderers: image grids, ROI debug view,
+    detection contours, per-class mask panels, IoU overlap heatmap."""
+    img, boxes, masks, cids, scores = _fixture()
+    names = ["BG", "a", "b"]
+    fig = V.display_images([img, img, img], titles=["1", "2", "3"], cols=2)
+    assert fig is not None
+    ax = V.draw_rois(img, boxes.astype(np.float32),
+                     boxes.astype(np.float32) + 1.0, masks, cids, names,
+                     limit=2)
+    assert ax is not None
+    ax = V.display_detections(img, boxes, boxes, masks, cids, names, scores)
+    assert ax is not None
+    V.display_top_masks(img, masks, cids, names, limit=2)
+    overlaps = np.array([[0.8, 0.1], [0.2, 0.6]])
+    V.plot_overlaps(np.array([1, 2]), np.array([1, 1]),
+                    np.array([0.9, 0.7]), overlaps, names)
+
+
 def test_fixed_colors_deterministic():
     assert V.fixed_colors(5) == V.fixed_colors(5)
     assert len(V.random_colors(7)) == 7
