@@ -24,6 +24,14 @@ BASELINE_FPS = 2.0  # see BENCH_NOTES.md
 
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1,
+                    help="images per step; >1 measures batched serving "
+                         "throughput (amortizes per-op overheads)")
+    args = ap.parse_args()
+
     import jax
 
     from mulit_view_object_detection_tpu.config import Config
@@ -50,6 +58,7 @@ def main():
         COMPUTE_DTYPE = "bfloat16"
         USE_PALLAS = os.environ.get("BENCH_USE_PALLAS", "1") == "1"
 
+    BenchConfig.IMAGES_PER_GPU = args.batch
     cfg = BenchConfig()
     model = MaskRCNN(cfg)
     batch = make_dummy_batch(cfg, training=False)
@@ -104,7 +113,8 @@ def main():
     frames = (long_n - short_n) * cfg.BATCH_SIZE
     fps = frames / dt
     print(json.dumps({
-        "metric": "multiview_inference_2view_640_conv3d",
+        "metric": "multiview_inference_2view_640_conv3d" + (
+            f"_b{args.batch}" if args.batch != 1 else ""),
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

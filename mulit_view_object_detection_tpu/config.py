@@ -139,6 +139,13 @@ class Config:
     # TPU-native knobs (no reference analog)
     # ------------------------------------------------------------------
     COMPUTE_DTYPE = "float32"   # "bfloat16" for MXU-friendly inference/training
+    REMAT = False               # rematerialize backbone blocks + voxel fusion
+                                # in the backward pass. Measured NEUTRAL at the
+                                # reference config (19.5 vs 19.8 steps/s —
+                                # BENCH_NOTES): XLA already schedules near the
+                                # HBM floor there. Enable for memory-constrained
+                                # configs (V=4, bigger grids/batches) where the
+                                # activation footprint, not step time, binds.
     CLIP_PROJECTION = False     # True: mask out-of-frustum voxels (the reference
                                 # has no OOB handling - a latent bug, see
                                 # model_multi.py:192-220); False keeps reference

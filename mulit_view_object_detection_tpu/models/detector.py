@@ -85,7 +85,9 @@ class MaskRCNN(nn.Module):
         stage4_blocks = getattr(cfg, "RESNET50_STAGE4_BLOCKS", None)
         _, c2, c3, c4, c5 = ResNet(
             cfg.BACKBONE, stage5=True, train_bn=train_bn,
-            stage4_blocks=stage4_blocks, dtype=dtype, name="backbone")(x)
+            stage4_blocks=stage4_blocks, dtype=dtype,
+            remat=bool(getattr(cfg, "REMAT", False)) and training,
+            name="backbone")(x)
         p2, p3, p4, p5, p6 = FPN(
             cfg.TOP_DOWN_PYRAMID_SIZE, post_relu=multiview, dtype=dtype,
             name="fpn")(c2, c3, c4, c5)
@@ -281,10 +283,16 @@ class MaskRCNN(nn.Module):
             # reference's reused_lay keys embed the level scope
             # ('grid_reas_P4_3D_conv', model_multi.py:394-463), so each
             # level owns its weights there too.
-            fusion = GridFusion(cfg.GRID_REAS, cfg.TOP_DOWN_PYRAMID_SIZE, v,
-                                bool(cfg.TRAIN_BN) and training, dtype,
-                                name=f"grid_fusion_p{li + 2}")
-            collapse = DepthCollapse(
+            # Under REMAT the voxel-space fusion/collapse activations (the
+            # largest tensors in the graph, [B,V,nvox^3,C]-scale) are
+            # recomputed in the backward pass instead of read from HBM.
+            remat = bool(getattr(cfg, "REMAT", False)) and training
+            Fusion = nn.remat(GridFusion) if remat else GridFusion
+            Collapse = nn.remat(DepthCollapse) if remat else DepthCollapse
+            fusion = Fusion(cfg.GRID_REAS, cfg.TOP_DOWN_PYRAMID_SIZE, v,
+                            bool(cfg.TRAIN_BN) and training, dtype,
+                            name=f"grid_fusion_p{li + 2}")
+            collapse = Collapse(
                 cfg.GRID_REAS, cfg.TOP_DOWN_PYRAMID_SIZE, cfg.samples,
                 bool(cfg.TRAIN_BN) and training, dtype,
                 name=f"depth_collapse_p{li + 2}")

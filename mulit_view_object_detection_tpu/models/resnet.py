@@ -39,7 +39,7 @@ class BatchNorm(nn.Module):
             axis_name=None)(x)
 
 
-class Bottleneck(nn.Module):
+class _Bottleneck(nn.Module):
     """conv_block / identity_block (model.py:95-168)."""
     filters: tuple  # (f1, f2, f3)
     strides: int = 1
@@ -75,11 +75,17 @@ class ResNet(nn.Module):
     train_bn: bool = False
     stage4_blocks: int | None = None  # override (multi-view fork quirk)
     dtype: Any = jnp.float32
+    # Rematerialize each bottleneck in the backward pass: the train step is
+    # HBM-bound (BENCH_NOTES MFU table), so re-computing block activations
+    # instead of reading them back from HBM trades cheap FLOPs for the
+    # dominant byte traffic. Param paths are unchanged (names are explicit).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
         """x: [N, H, W, 3] molded images. Returns [C1, C2, C3, C4, C5]."""
         assert self.architecture in BLOCK_COUNTS
+        Bottleneck = (nn.remat(_Bottleneck) if self.remat else _Bottleneck)
         # Stage 1 (explicit pad 3 + valid conv, model.py:179-183)
         y = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
         y = nn.Conv(64, (7, 7), strides=2, padding="VALID", name="conv1",

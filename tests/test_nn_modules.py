@@ -141,3 +141,31 @@ def test_view_transformer():
     out = m.apply(vars_, tokens, pos)
     assert out.shape == (1, 4, 4, 24)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_resnet_remat_grads_match():
+    """REMAT changes the backward-pass schedule (recompute instead of
+    store), never the math: params and gradients must agree with and
+    without it (up to FP reassociation in the recomputed reductions)."""
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 32, 32, 3)
+                    .astype(np.float32))
+
+    def run(remat):
+        m = ResNet("resnet50", stage5=True, remat=remat)
+        vars_ = m.init(jax.random.PRNGKey(0), x)
+
+        def loss(params):
+            outs = m.apply({"params": params,
+                            "batch_stats": vars_["batch_stats"]}, x)
+            return sum(jnp.sum(o ** 2) for o in outs if o is not None)
+
+        return vars_["params"], jax.grad(loss)(vars_["params"])
+
+    p0, g0 = run(False)
+    p1, g1 = run(True)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, p0, p1)
+    def close(a, b):
+        scale = max(np.abs(b).max(), 1.0)
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-5)
+
+    jax.tree_util.tree_map(close, g0, g1)
