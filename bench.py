@@ -70,7 +70,9 @@ def main():
     rngs = {"params": jax.random.PRNGKey(0),
             "sampling": jax.random.PRNGKey(1),
             "dropout": jax.random.PRNGKey(2)}
-    variables = model.init(rngs, batch, training=False)
+    # init under jit: eager init crashes the relayed TPU worker at B>=2
+    variables = jax.jit(
+        lambda r, b: model.init(r, b, training=False))(rngs, batch)
 
     import functools
 

@@ -185,21 +185,26 @@ def _bwd_rule(fh, fw, tile, res, g):
 bilinear_gather.defvjp(_fwd_rule, _bwd_rule)
 
 
-def auto_tile(p, c=64):
+def auto_tile(p, c=64, bv=None):
     """Voxel-tile size: as large as VMEM allows (fewer grid steps amortize
     per-tile DMA/sync overhead — measured to dominate for small-P levels).
-    Two independent ceilings, both from the 16 MB scoped-vmem limit:
+    Three ceilings, all from the 16 MB scoped-vmem limit:
       * W temporaries (iota + compare + W) cost ~3x the W [tile, P] f32
         bytes -> tile*P <= ~1.6M elements (empirically fits at
         P=1600/tile=1024);
       * the double-buffered [tile, C] f32 output block -> tile*C <= 512K
-        elements (a C=256 level at tile=4096 alone overflows the stack)."""
+        elements (a C=256 level at tile=4096 alone overflows the stack);
+      * long grids (bv >= 8, i.e. batch x views serving shapes) pipeline
+        deeper and overflow the stack by ~1.4% at tile=4096 — measured
+        "16.22M > 16.00M limit" at bv=8/P=100 — so cap at 2048 there."""
     if p >= 1024:
         tile = 1024
     elif p >= 256:
         tile = 2048
     else:
         tile = 4096
+    if bv is not None and bv >= 8:
+        tile = min(tile, 2048)
     c_cap = max(128, (512 * 1024 // max(c, 1)) // 128 * 128)
     return min(tile, c_cap)
 
@@ -230,6 +235,6 @@ def unproject_features_pallas(feats, Rcam, Kmat, image_shape, grid_pts,
 
     flat = feats.reshape(b * v, fh * fw, c)
     if tile is None:
-        tile = auto_tile(fh * fw, c)
+        tile = auto_tile(fh * fw, c, bv=b * v)
     out = bilinear_gather(flat, x, y, fh, fw, tile)
     return out.reshape(b, v, nx, ny, nz, c)

@@ -37,7 +37,11 @@ def create_train_state(model, config, rng, batch, learning_rate=None):
     lr = learning_rate if learning_rate is not None else config.LEARNING_RATE
     init_rngs = {"params": rng, "sampling": jax.random.fold_in(rng, 1),
                  "dropout": jax.random.fold_in(rng, 2)}
-    variables = model.init(init_rngs, batch, training=True)
+    # init UNDER JIT: eager init dispatches the whole forward op-by-op,
+    # which is slow everywhere and hard-crashes the TPU worker behind the
+    # axon relay at large batch x image sizes (measured: B=2 @ 640^2).
+    variables = jax.jit(
+        lambda r, b: model.init(r, b, training=True))(init_rngs, batch)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(lr, config.LEARNING_MOMENTUM,

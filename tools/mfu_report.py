@@ -96,7 +96,8 @@ def inference_report():
     rngs = {"params": jax.random.PRNGKey(0),
             "sampling": jax.random.PRNGKey(1),
             "dropout": jax.random.PRNGKey(2)}
-    variables = model.init(rngs, batch, training=False)
+    variables = jax.jit(
+        lambda r, b: model.init(r, b, training=False))(rngs, batch)
 
     @jax.jit
     def infer(variables, batch):

@@ -83,7 +83,8 @@ def time_variant(name):
     rngs = {"params": jax.random.PRNGKey(0),
             "sampling": jax.random.PRNGKey(1),
             "dropout": jax.random.PRNGKey(2)}
-    variables = model.init(rngs, batch, training=False)
+    variables = jax.jit(
+        lambda r, b: model.init(r, b, training=False))(rngs, batch)
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def infer_loop(variables, batch, iters):
