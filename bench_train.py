@@ -21,6 +21,16 @@ BASELINE_STEPS_PER_SEC = 1.0  # see BENCH_NOTES.md
 
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1,
+                    help="images per step; >1 measures per-chip batch "
+                         "scaling of training throughput")
+    ap.add_argument("--remat", action="store_true",
+                    help="enable backward-pass rematerialization")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -52,6 +62,8 @@ def main():
         samples = 20
         COMPUTE_DTYPE = "bfloat16"
 
+    TrainBench.IMAGES_PER_GPU = args.batch
+    TrainBench.REMAT = args.remat
     cfg = TrainBench()
     model = MaskRCNN(cfg)
     batch = make_dummy_batch(cfg, training=True)
@@ -96,10 +108,13 @@ def main():
     t6 = run(6)
     ms = (t6 - t1) / 5 * 1e3
     sps = 1e3 / ms
+    suffix = (f"_b{args.batch}" if args.batch != 1 else "") + (
+        "_remat" if args.remat else "")
     print(json.dumps({
-        "metric": "multiview_train_step_2view_640_conv3d",
+        "metric": "multiview_train_step_2view_640_conv3d" + suffix,
         "value": round(sps, 3),
         "unit": "steps/sec/chip",
+        "samples_per_sec": round(sps * cfg.BATCH_SIZE, 3),
         "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 3),
     }))
 

@@ -111,8 +111,11 @@ def _load_model_weights(model, args):
 
 
 def _eval_views(dataset, config, model, keys, num_views, rnd_state=0,
-                max_views=5):
-    """Mean AP@0.5 over view_map entries (interior_multi.py:504-565)."""
+                max_views=5, iou_range=False):
+    """Mean AP over view_map entries (interior_multi.py:504-565): AP@0.5
+    by default, or COCO-style AP@0.5:0.95 with iou_range=True (the
+    reference computed the range too but left it commented out,
+    interior_multi.py:551-552)."""
     from ..data.generator import load_image_gt
 
     aps = []
@@ -140,10 +143,17 @@ def _eval_views(dataset, config, model, keys, num_views, rnd_state=0,
         if r["masks"].shape[-1] == 0 or gt_mask.shape[-1] == 0:
             aps.append(0.0)
             continue
-        ap, *_ = compute_ap(gt_bbox.astype(np.float32), gt_class_id,
-                            gt_mask, r["rois"].astype(np.float32),
-                            r["class_ids"], r["scores"], r["masks"],
-                            iou_threshold=0.5)
+        if iou_range:
+            from ..eval.metrics import compute_ap_range
+            ap = compute_ap_range(
+                gt_bbox.astype(np.float32), gt_class_id, gt_mask,
+                r["rois"].astype(np.float32), r["class_ids"], r["scores"],
+                r["masks"], verbose=False)
+        else:
+            ap, *_ = compute_ap(gt_bbox.astype(np.float32), gt_class_id,
+                                gt_mask, r["rois"].astype(np.float32),
+                                r["class_ids"], r["scores"], r["masks"],
+                                iou_threshold=0.5)
         aps.append(ap)
         print(f"{count}: running meanAP = {np.mean(aps):.4f}")
     return float(np.mean(aps)) if aps else 0.0
@@ -158,8 +168,10 @@ def cmd_evaluate(args):
     if args.limit:
         keys = keys[:args.limit]
     mean_ap = _eval_views(dataset_val, config, model, keys,
-                          config.NUM_VIEWS, rnd_state=0)
-    print(f"mAP@50: {mean_ap:.4f}")
+                          config.NUM_VIEWS, rnd_state=0,
+                          iou_range=args.iou_range)
+    label = "mAP@50:95" if args.iou_range else "mAP@50"
+    print(f"{label}: {mean_ap:.4f}")
     return mean_ap
 
 
@@ -204,6 +216,9 @@ def main(argv=None):
                         help="Path to Matterport COCO h5 (for --model coco)")
     parser.add_argument("--logs", default=DEFAULT_LOGS_DIR)
     parser.add_argument("--limit", type=int, default=0)
+    parser.add_argument("--iou-range", action="store_true",
+                        help="evaluate COCO-style mAP@0.5:0.95 instead of "
+                             "mAP@0.5")
     # multi-host launch (one process per host): also honors cluster env
     # vars (SLURM/TPU pod) with no flags — see parallel.mesh
     parser.add_argument("--coordinator", default=None,

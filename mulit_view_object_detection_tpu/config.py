@@ -134,6 +134,10 @@ class Config:
     XFORMER_DFF = 256
     XFORMER_TARGET_SIZE = 20   # tokens project to TARGET_SIZE^2 (=P5 grid)
     XFORMER_DROPOUT = 0.1
+    XFORMER_KEEP_MAIN_LEVELS = False  # reference zeroes P2/P3/P4/P6 in the
+                                      # transformer variant; True keeps the
+                                      # main view's features there (opt-in
+                                      # fix for small-object regimes)
 
     # ------------------------------------------------------------------
     # TPU-native knobs (no reference analog)

@@ -238,11 +238,19 @@ class MaskRCNN(nn.Module):
                 name="view_transformer")(
                     tokens.astype(dtype), positions,
                     deterministic=not training)
+            # Reference semantics zero every level except the fused P5
+            # (model_transformer.py:2419-2438). XFORMER_KEEP_MAIN_LEVELS
+            # (opt-in, no reference analog) keeps the main view's features
+            # on the other levels instead — needed when objects are small
+            # relative to the image so ROIs route to P2/P3.
+            keep_main = bool(getattr(cfg, "XFORMER_KEEP_MAIN_LEVELS", False))
             out, zeros = [], set()
             for li, p in enumerate(levels):
                 main = p[:, 0]
                 if li == 3:
                     out.append(main + fused.astype(main.dtype))
+                elif keep_main:
+                    out.append(main)
                 else:
                     out.append(jnp.zeros_like(main))
                     zeros.add(li)

@@ -32,7 +32,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def build_config(image_size, num_views):
+def build_config(image_size, num_views, variant="conv3d"):
     from mulit_view_object_detection_tpu.config import Config
 
     class TrainToAPConfig(Config):
@@ -64,12 +64,31 @@ def build_config(image_size, num_views):
         USE_MINI_MASK = True
         MINI_MASK_SHAPE = (28, 28)
 
+    if variant == "xformer":
+        # BASELINE config #4's fusion (interior_transformer.py:378-407)
+        # scaled to the synthetic harness: depth-conditioned P5 tokens,
+        # small encoder, main-view features kept on the other levels so
+        # 64-px objects (which route to P2/P3) stay detectable.
+        class XformerConfig(TrainToAPConfig):
+            GRID_REAS = "ident"
+            TRANSFORMER = True
+            TOP_DOWN_PYRAMID_SIZE = 72
+            XFORMER_D_MODEL = 72
+            XFORMER_NUM_LAYERS = 2
+            XFORMER_NUM_HEADS = 4
+            XFORMER_DFF = 128
+            XFORMER_DROPOUT = 0.0
+            XFORMER_KEEP_MAIN_LEVELS = True
+            samples = 1
+        return XformerConfig()
     return TrainToAPConfig()
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--steps", type=int, default=3000)
+    parser.add_argument("--variant", choices=["conv3d", "xformer"],
+                        default="conv3d")
     parser.add_argument("--image-size", type=int, default=64)
     parser.add_argument("--num-views", type=int, default=2)
     parser.add_argument("--scenes", type=int, default=4)
@@ -95,14 +114,15 @@ def main(argv=None):
     from mulit_view_object_detection_tpu.train.step import (
         create_train_state, make_train_step)
 
-    cfg = build_config(args.image_size, args.num_views)
+    cfg = build_config(args.image_size, args.num_views, args.variant)
+    with_depth = bool(cfg.TRANSFORMER)
     ds = SyntheticMultiViewDataset(
         num_scenes=args.scenes, num_views=args.num_views,
         image_size=args.image_size, num_classes=cfg.NUM_CLASSES,
         seed=args.seed)
 
     model = Model(cfg)
-    batch0 = make_batch(ds, cfg, rnd_state=0)
+    batch0 = make_batch(ds, cfg, rnd_state=0, with_depth=with_depth)
     state = create_train_state(model, cfg, jax.random.PRNGKey(args.seed),
                                batch0)
     train_step = make_train_step(cfg, stage="all", donate=False)
@@ -118,8 +138,33 @@ def main(argv=None):
         engine._state = engine._state.replace(
             params=state.params, batch_stats=state.batch_stats)
         keys = list(ds.view_map.keys())
-        return _eval_views(ds, eval_cfg, engine, keys, args.num_views,
-                           rnd_state=0)
+        if not with_depth:
+            return _eval_views(ds, eval_cfg, engine, keys, args.num_views,
+                               rnd_state=0)
+        # depth-conditioned eval (interior_transformer.py's protocol)
+        from mulit_view_object_detection_tpu.cli.interior_transformer \
+            import _detect_with_depth
+        from mulit_view_object_detection_tpu.data.generator import (
+            load_image_gt)
+        from mulit_view_object_detection_tpu.eval.metrics import compute_ap
+        aps = []
+        for key in keys:
+            view_ids = ds.load_view(5, key, rnd_state=0)
+            if view_ids is None:
+                continue
+            view_ids = view_ids[:args.num_views]
+            _, _, gt_class_id, gt_bbox, gt_mask = load_image_gt(
+                ds, eval_cfg, view_ids[0], use_mini_mask=False)
+            r = _detect_with_depth(engine, ds, eval_cfg, view_ids)[0]
+            if r["masks"].shape[-1] == 0 or gt_mask.shape[-1] == 0:
+                aps.append(0.0)
+                continue
+            ap, *_ = compute_ap(
+                gt_bbox.astype(np.float32), gt_class_id, gt_mask,
+                r["rois"].astype(np.float32), r["class_ids"],
+                r["scores"], r["masks"], iou_threshold=0.5)
+            aps.append(ap)
+        return float(np.mean(aps)) if aps else 0.0
 
     rng = jax.random.PRNGKey(args.seed + 100)
     drop_at = int(args.steps * args.lr_drop)
@@ -132,7 +177,7 @@ def main(argv=None):
                                 cfg.LEARNING_MOMENTUM,
                                 cfg.GRADIENT_CLIP_NORM)
             state = state.replace(tx=tx, opt_state=tx.init(state.params))
-        batch = make_batch(ds, cfg, rnd_state=step)
+        batch = make_batch(ds, cfg, rnd_state=step, with_depth=with_depth)
         rng, srng = jax.random.split(rng)
         state, metrics = train_step(state, batch, srng)
         losses.append(float(metrics["loss"]))
@@ -148,6 +193,7 @@ def main(argv=None):
     elapsed = time.time() - t0
     result = {
         "metric": "synthetic_train_to_ap50",
+        "variant": args.variant,
         "ap50": round(ap, 4),
         "steps": args.steps,
         "image_size": args.image_size,
