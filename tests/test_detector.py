@@ -129,3 +129,25 @@ def test_vanilla_and_transformer_paths():
     variables, out = _init_and_run(cfg, training=False)
     assert out["detections"].shape == (1, 8, 6)
     assert "view_transformer" in variables["params"]
+
+
+def test_transformer_keep_main_levels():
+    """XFORMER_KEEP_MAIN_LEVELS=True feeds the main view's features to the
+    non-P5 levels instead of the reference's zeros: the P2 RPN response
+    must vary spatially (a zeroed level yields one constant logit tile)."""
+    class Zeroed(TinyBase):
+        NUM_VIEWS = 2
+        TRANSFORMER = True
+        samples = 1
+
+    class KeepMain(Zeroed):
+        XFORMER_KEEP_MAIN_LEVELS = True
+
+    p2_anchors = 16 * 16 * 3   # 64px / stride 4, 3 ratios
+    _, out0 = _init_and_run(Zeroed(), training=False)
+    seg0 = np.asarray(out0["rpn_class_logits"][0, :p2_anchors])
+    assert np.all(seg0.std(axis=0) < 1e-6)
+
+    _, out1 = _init_and_run(KeepMain(), training=False)
+    seg1 = np.asarray(out1["rpn_class_logits"][0, :p2_anchors])
+    assert seg1.std(axis=0).max() > 1e-4
