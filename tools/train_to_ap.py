@@ -32,7 +32,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def build_config(image_size, num_views, variant="conv3d"):
+def build_config(image_size, num_views, variant="conv3d", nvox_override=None):
     from mulit_view_object_detection_tpu.config import Config
 
     class TrainToAPConfig(Config):
@@ -53,8 +53,8 @@ def build_config(image_size, num_views, variant="conv3d"):
         DETECTION_MIN_CONFIDENCE = 0.5
         MAX_GT_INSTANCES = 8
         GRID_REAS = "conv3d"
-        nvox = 16
-        nvox_z = 16
+        nvox = nvox_override or 16
+        nvox_z = nvox_override or 16
         vmin, vmax = -2.0, 2.0
         vmin_z, vmax_z = 1.0, 7.0
         samples = 8
@@ -89,6 +89,9 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=3000)
     parser.add_argument("--variant", choices=["conv3d", "xformer"],
                         default="conv3d")
+    parser.add_argument("--nvox", type=int, default=0,
+                        help="override voxel grid resolution (0 = default "
+                             "16; the conv3d AP ceiling tracks this)")
     parser.add_argument("--image-size", type=int, default=64)
     parser.add_argument("--num-views", type=int, default=2)
     parser.add_argument("--scenes", type=int, default=4)
@@ -114,7 +117,8 @@ def main(argv=None):
     from mulit_view_object_detection_tpu.train.step import (
         create_train_state, make_train_step)
 
-    cfg = build_config(args.image_size, args.num_views, args.variant)
+    cfg = build_config(args.image_size, args.num_views, args.variant,
+                       nvox_override=args.nvox or None)
     with_depth = bool(cfg.TRANSFORMER)
     ds = SyntheticMultiViewDataset(
         num_scenes=args.scenes, num_views=args.num_views,
@@ -194,6 +198,7 @@ def main(argv=None):
     result = {
         "metric": "synthetic_train_to_ap50",
         "variant": args.variant,
+        "nvox": cfg.nvox,
         "ap50": round(ap, 4),
         "steps": args.steps,
         "image_size": args.image_size,
