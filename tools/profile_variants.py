@@ -46,7 +46,8 @@ class Base(Config):
     COMPUTE_DTYPE = "bfloat16"
 
 
-def variant_config(name):
+def variant_config(name, batch=1):
+    Base.IMAGES_PER_GPU = batch
     if name == "vanilla":
         class C(Base):
             NUM_VIEWS = 2
@@ -72,8 +73,8 @@ def variant_config(name):
     return C()
 
 
-def time_variant(name):
-    cfg = variant_config(name)
+def time_variant(name, batch=1):
+    cfg = variant_config(name, batch)
     model = MaskRCNN(cfg)
     batch = make_dummy_batch(cfg, training=False)
     rng = np.random.RandomState(0)
@@ -108,11 +109,14 @@ def time_variant(name):
     run(12)
     t2 = run(2)
     t12 = run(12)
-    ms = (t12 - t2) / 10 * 1e3
-    print(json.dumps({"variant": name, "ms_per_frame": round(ms, 2),
+    ms = (t12 - t2) / 10 * 1e3 / cfg.BATCH_SIZE
+    print(json.dumps({"variant": name, "batch": cfg.BATCH_SIZE,
+                      "ms_per_frame": round(ms, 2),
                       "fps": round(1e3 / ms, 1)}), flush=True)
 
 
 if __name__ == "__main__":
+    # variant names, optionally suffixed ":bN" for a batched run
     for v in (sys.argv[1:] or ["vanilla", "conv3d"]):
-        time_variant(v)
+        name, _, b = v.partition(":b")
+        time_variant(name, int(b) if b else 1)
