@@ -143,11 +143,25 @@ def test_transformer_keep_main_levels():
     class KeepMain(Zeroed):
         XFORMER_KEEP_MAIN_LEVELS = True
 
+    def run(cfg):
+        model = MaskRCNN(cfg)
+        batch = make_dummy_batch(cfg, training=False)
+        # non-constant images: a zero-filled batch makes every feature map
+        # spatially constant, which would void the variance check below
+        batch["images"] = np.random.RandomState(0).randn(
+            *batch["images"].shape).astype(np.float32) * 50.0
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        rngs = {"params": jax.random.PRNGKey(0),
+                "sampling": jax.random.PRNGKey(1),
+                "dropout": jax.random.PRNGKey(2)}
+        variables = model.init(rngs, batch, training=False)
+        return model.apply(variables, batch, training=False,
+                           rngs={"sampling": jax.random.PRNGKey(3),
+                                 "dropout": jax.random.PRNGKey(4)})
+
     p2_anchors = 16 * 16 * 3   # 64px / stride 4, 3 ratios
-    _, out0 = _init_and_run(Zeroed(), training=False)
-    seg0 = np.asarray(out0["rpn_class_logits"][0, :p2_anchors])
+    seg0 = np.asarray(run(Zeroed())["rpn_class_logits"][0, :p2_anchors])
     assert np.all(seg0.std(axis=0) < 1e-6)
 
-    _, out1 = _init_and_run(KeepMain(), training=False)
-    seg1 = np.asarray(out1["rpn_class_logits"][0, :p2_anchors])
+    seg1 = np.asarray(run(KeepMain())["rpn_class_logits"][0, :p2_anchors])
     assert seg1.std(axis=0).max() > 1e-4
