@@ -266,18 +266,44 @@ class BatchPrefetcher:
         self._stop.set()
 
 
+class PrefetchError(RuntimeError):
+    """Raised by ProcessPrefetcher when its workers can no longer produce
+    batches (all dead, or a worker hit the consecutive-failure cap)."""
+
+
+# queue sentinel: ("__prefetch_error__", formatted traceback string)
+_ERROR_TAG = "__prefetch_error__"
+
+# Matches the reference generator's tolerance (model_multi.py:2284-2291 —
+# re-raise after 5 consecutive bad samples instead of spinning forever).
+_MAX_CONSECUTIVE_FAILURES = 5
+
+
 class ProcessPrefetcher:
-    """Fork-based batch prefetcher: each worker process runs `make_fn(seed)`
-    in its own interpreter, so sample assembly scales past the GIL.
+    """Process-based batch prefetcher: each worker runs `make_fn(seed)` in
+    its own interpreter, so sample assembly scales past the GIL.
 
-    Uses the fork start method (the closure and its captured dataset are
-    inherited, not pickled); finished batches — plain dicts of numpy
-    arrays — come back through a multiprocessing queue. Workers draw
-    disjoint seed streams (seed + worker_index + k * num_procs) so the
-    sample sequence is reproducible for a fixed (seed, num_procs)."""
+    Uses the *spawn* start method by default: forking after JAX (or any
+    threaded library) has initialized is a deadlock hazard, and the
+    trainer imports JAX long before the input pipeline starts. Spawn
+    requires `make_fn` to be picklable — use a module-level function or a
+    `functools.partial` over one, not a local closure (pass
+    start_method="fork" explicitly only in fork-safe processes).
 
-    def __init__(self, make_fn, num_procs=4, prefetch=8, seed=0):
-        ctx = multiprocessing.get_context("fork")
+    Finished batches — plain dicts of numpy arrays — come back through a
+    multiprocessing queue. Workers draw disjoint seed streams
+    (seed + worker_index + k * num_procs) so the sample sequence is
+    reproducible for a fixed (seed, num_procs).
+
+    Failure handling: a worker that fails `_MAX_CONSECUTIVE_FAILURES`
+    times in a row sends its traceback through the queue and exits; the
+    consumer re-raises it as PrefetchError. `__next__` also polls worker
+    liveness so silently-killed workers (OOM kill) surface as an error
+    instead of an infinite block."""
+
+    def __init__(self, make_fn, num_procs=4, prefetch=8, seed=0,
+                 start_method="spawn"):
+        ctx = multiprocessing.get_context(start_method)
         self._queue = ctx.Queue(maxsize=max(prefetch, num_procs))
         self._stop = ctx.Event()
         self._procs = [
@@ -294,7 +320,23 @@ class ProcessPrefetcher:
         return self
 
     def __next__(self):
-        return self._queue.get()
+        while True:
+            try:
+                item = self._queue.get(timeout=5.0)
+            except queue.Empty:
+                if not any(p.is_alive() for p in self._procs):
+                    raise PrefetchError(
+                        "all prefetch workers are dead (killed or "
+                        "crashed before reporting an error)") from None
+                continue
+            if (isinstance(item, tuple) and len(item) == 2
+                    and item[0] == _ERROR_TAG):
+                self._stop.set()
+                raise PrefetchError(
+                    "prefetch worker failed "
+                    f"{_MAX_CONSECUTIVE_FAILURES} times in a row:\n"
+                    + item[1])
+            return item
 
     def close(self):
         self._stop.set()
@@ -311,11 +353,22 @@ class ProcessPrefetcher:
 
 
 def _process_prefetch_worker(make_fn, out_queue, stop, seed, stride):
+    failures = 0
     while not stop.is_set():
         try:
             batch = make_fn(seed)
+            failures = 0
         except Exception:  # pragma: no cover
             log.exception("prefetch worker failed")
+            failures += 1
+            if failures >= _MAX_CONSECUTIVE_FAILURES:
+                import traceback
+                try:
+                    out_queue.put((_ERROR_TAG, traceback.format_exc()),
+                                  timeout=5.0)
+                except queue.Full:
+                    pass
+                return
             seed += stride
             continue
         seed += stride

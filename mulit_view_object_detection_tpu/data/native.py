@@ -34,10 +34,29 @@ def _load():
     src = os.path.join(_native_dir(), "maskops.cpp")
     if not os.path.exists(src):
         return None
-    so_path = os.path.join(tempfile.gettempdir(), "libmaskops.so")
+    # The build uses -march=native, so a cached .so is only valid on the
+    # host ISA that built it (a container image or NFS home carried to a
+    # different microarch would SIGILL). Key the cache file by a
+    # fingerprint of (source bytes, machine, cpu flags).
+    import hashlib
+    import platform
+    cpu_flags = ""
     try:
-        if (not os.path.exists(so_path)
-                or os.path.getmtime(so_path) < os.path.getmtime(src)):
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    cpu_flags = line
+                    break
+    except OSError:
+        pass
+    with open(src, "rb") as f:
+        src_bytes = f.read()
+    tag = hashlib.sha256(
+        src_bytes + platform.machine().encode() + cpu_flags.encode()
+    ).hexdigest()[:16]
+    so_path = os.path.join(tempfile.gettempdir(), f"libmaskops-{tag}.so")
+    try:
+        if not os.path.exists(so_path):
             # -ffp-contract=off: anchor_gt_match's tie detection relies on
             # float32 results matching numpy bit-for-bit (no FMA fusion —
             # min/max/div stay IEEE-exact under -march=native, which is

@@ -138,9 +138,14 @@ def compute_overlaps_np(boxes1, boxes2):
     """Pairwise IoU [N1, N2] — one broadcast, no loop. Coordinates are
     broadcast per-axis ([N1, N2] planes) rather than stacked into an
     [N1, N2, 2] block: with ~100k anchors the stacked form's prod-reduce
-    dominates the host input pipeline."""
-    c1 = np.ascontiguousarray(boxes1.T)
-    c2 = np.ascontiguousarray(boxes2.T)
+    dominates the host input pipeline.
+
+    Inputs are cast to float32 up front so the dtype behavior (and the
+    bit-exact tie compare in ops/targets.py) matches the native float32
+    kernel for integer/float64 callers, and so the in-place `ih *= iw`
+    cannot overflow an integer intermediate."""
+    c1 = np.ascontiguousarray(boxes1.T, dtype=np.float32)
+    c2 = np.ascontiguousarray(boxes2.T, dtype=np.float32)
     ih = np.minimum.outer(c1[2], c2[2])
     ih -= np.maximum.outer(c1[0], c2[0])
     iw = np.minimum.outer(c1[3], c2[3])
@@ -149,7 +154,9 @@ def compute_overlaps_np(boxes1, boxes2):
     np.clip(iw, 0, None, out=iw)
     ih *= iw
     inter = ih
-    union = _areas_np(boxes1)[:, None] + _areas_np(boxes2)[None, :] - inter
+    a1 = (c1[2] - c1[0]) * (c1[3] - c1[1])
+    a2 = (c2[2] - c2[0]) * (c2[3] - c2[1])
+    union = a1[:, None] + a2[None, :] - inter
     return inter / union
 
 

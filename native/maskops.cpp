@@ -148,15 +148,14 @@ void anchor_gt_match(const float* anchors, int a, const float* gt, int g,
     forced[i] = 0;
   }
   // pass 1, GT-major: each inner anchor loop is branch-free and
-  // auto-vectorizes (including the blended argmax update); the IoU
-  // column is kept so the tie pass below needs no re-division
-  float* iou_mat = new float[(size_t)g * a];
+  // auto-vectorizes (including the blended argmax update); no [G, A]
+  // matrix is stored — pass 2 recomputes the IoU, which at ~100k
+  // anchors is cheaper than streaming 40-100 MB through the caches
   float gt_best[256];
   for (int j = 0; j < g; ++j) {
     const float gy1 = gt[j * 4 + 0], gx1 = gt[j * 4 + 1];
     const float gy2 = gt[j * 4 + 2], gx2 = gt[j * 4 + 3];
     const float g_area = (gy2 - gy1) * (gx2 - gx1);
-    float* col = iou_mat + (size_t)j * a;
     float jmax = -1.0f;
     for (int i = 0; i < a; ++i) {
       float ih = (ay2[i] < gy2 ? ay2[i] : gy2)
@@ -167,7 +166,6 @@ void anchor_gt_match(const float* anchors, int a, const float* gt, int g,
       iw = iw > 0.0f ? iw : 0.0f;
       const float inter = ih * iw;
       const float iou = inter / (a_area[i] + g_area - inter);
-      col[i] = iou;
       const bool better = iou > best_iou[i];
       best_iou[i] = better ? iou : best_iou[i];
       best_gt[i] = better ? j : best_gt[i];
@@ -175,15 +173,26 @@ void anchor_gt_match(const float* anchors, int a, const float* gt, int g,
     }
     gt_best[j] = jmax;
   }
-  // pass 2: mark every anchor that ties a GT's maximum (pure compares)
+  // pass 2: mark every anchor that ties a GT's maximum. The IoU is
+  // recomputed with the identical float32 expression (same op order,
+  // -ffp-contract=off), so equality with gt_best[j] is bit-exact.
   for (int j = 0; j < g; ++j) {
-    const float* col = iou_mat + (size_t)j * a;
+    const float gy1 = gt[j * 4 + 0], gx1 = gt[j * 4 + 1];
+    const float gy2 = gt[j * 4 + 2], gx2 = gt[j * 4 + 3];
+    const float g_area = (gy2 - gy1) * (gx2 - gx1);
     const float m = gt_best[j];
     for (int i = 0; i < a; ++i) {
-      forced[i] |= (col[i] == m) ? 1 : 0;
+      float ih = (ay2[i] < gy2 ? ay2[i] : gy2)
+          - (ay1[i] > gy1 ? ay1[i] : gy1);
+      float iw = (ax2[i] < gx2 ? ax2[i] : gx2)
+          - (ax1[i] > gx1 ? ax1[i] : gx1);
+      ih = ih > 0.0f ? ih : 0.0f;
+      iw = iw > 0.0f ? iw : 0.0f;
+      const float inter = ih * iw;
+      const float iou = inter / (a_area[i] + g_area - inter);
+      forced[i] |= (iou == m) ? 1 : 0;
     }
   }
-  delete[] iou_mat;
   delete[] ay1;
 }
 

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from mulit_view_object_detection_tpu.config import Config
 from mulit_view_object_detection_tpu.data.generator import (
@@ -139,6 +140,22 @@ def test_image_from_source_map_keying():
     assert ds.source_class_ids["synthetic"] == [0, 1]
 
 
+def _picklable_make_batch(seed):
+    """Module-level batch fn — ProcessPrefetcher's spawn workers pickle
+    their make_fn, so it cannot be a local closure."""
+    ds = SyntheticMultiViewDataset(num_scenes=2, num_views=3)
+    cfg = DataCfg()
+    return make_batch(ds, cfg, rnd_state=seed)
+
+
+def _seed_tagging_fn(seed):
+    return {"seed": np.array([seed], np.int64)}
+
+
+def _always_failing_fn(seed):
+    raise ValueError(f"synthetic dataset failure (seed={seed})")
+
+
 def test_prefetchers_deliver_batches():
     ds = SyntheticMultiViewDataset(num_scenes=2, num_views=3)
     cfg = DataCfg()
@@ -149,9 +166,10 @@ def test_prefetchers_deliver_batches():
     from mulit_view_object_detection_tpu.data.generator import (
         BatchPrefetcher, ProcessPrefetcher)
 
-    for cls, kw in ((BatchPrefetcher, {"num_threads": 2}),
-                    (ProcessPrefetcher, {"num_procs": 2})):
-        pf = cls(make_fn, prefetch=4, **kw)
+    for cls, kw, fn in (
+            (BatchPrefetcher, {"num_threads": 2}, make_fn),
+            (ProcessPrefetcher, {"num_procs": 2}, _picklable_make_batch)):
+        pf = cls(fn, prefetch=4, **kw)
         try:
             it = iter(pf)
             for _ in range(3):
@@ -160,3 +178,60 @@ def test_prefetchers_deliver_batches():
                 assert np.isfinite(batch["images"]).all()
         finally:
             pf.close()
+
+
+def test_process_prefetcher_disjoint_deterministic_streams():
+    """N spawn workers must draw disjoint seed streams: worker i covers
+    seed + i, seed + i + N, ... with no duplicates across workers."""
+    from mulit_view_object_detection_tpu.data.generator import (
+        ProcessPrefetcher)
+
+    pf = ProcessPrefetcher(_seed_tagging_fn, num_procs=2, prefetch=2,
+                           seed=100)
+    try:
+        seen = [int(next(iter(pf))["seed"][0]) for _ in range(8)]
+    finally:
+        pf.close()
+    assert len(set(seen)) == len(seen), f"duplicate seeds: {seen}"
+    # every observed seed belongs to one of the two arithmetic streams
+    for s in seen:
+        assert s >= 100 and (s - 100) >= 0
+    streams = {s % 2 for s in seen}
+    assert streams <= {0, 1}
+    # each worker's stream is consumed in order: per-parity subsequences
+    # of `seen` need not be sorted globally (queue interleaving) but the
+    # multiset must be a prefix-union of the two streams
+    for parity in (0, 1):
+        got = sorted(s for s in seen if s % 2 == parity)
+        expect = [100 + parity + 2 * k for k in range(len(got))]
+        assert got == expect, (parity, got)
+
+
+def test_process_prefetcher_propagates_worker_failure():
+    from mulit_view_object_detection_tpu.data.generator import (
+        PrefetchError, ProcessPrefetcher)
+
+    pf = ProcessPrefetcher(_always_failing_fn, num_procs=1, prefetch=2)
+    try:
+        with pytest.raises(PrefetchError, match="synthetic dataset"):
+            next(iter(pf))
+    finally:
+        pf.close()
+
+
+def test_process_prefetcher_detects_dead_workers():
+    from mulit_view_object_detection_tpu.data.generator import (
+        PrefetchError, ProcessPrefetcher)
+
+    pf = ProcessPrefetcher(_seed_tagging_fn, num_procs=1, prefetch=1)
+    try:
+        next(iter(pf))  # ensure the worker came up
+        for p in pf._procs:
+            p.terminate()
+            p.join()
+        # drain anything already enqueued, then expect liveness error
+        with pytest.raises(PrefetchError, match="dead"):
+            for _ in range(4):
+                next(iter(pf))
+    finally:
+        pf.close()
