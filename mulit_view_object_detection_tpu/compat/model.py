@@ -44,6 +44,8 @@ class MaskRCNN:
         self.model = _Model(config)
         self.epoch = 0
         self._state = None
+        self._fold_src = None
+        self._fold_cache = None
         self._infer_step = None
         self._rng = jax.random.PRNGKey(0)
         self.set_log_dir()
@@ -58,11 +60,37 @@ class MaskRCNN:
                 self.model, self.config, jax.random.PRNGKey(0), batch)
         return self._state
 
+
+    def _maybe_fold(self, state):
+        """FOLD_BN serving mode: bake frozen-BN affines into conv weights
+        once per state (utils/bn_fold.py); cached until the state changes."""
+        if not getattr(self.config, "FOLD_BN", False):
+            return state
+        if self._fold_src is not state:
+            from ..utils.bn_fold import fold_bn_variables
+            folded, _ = fold_bn_variables(
+                {"params": state.params, "batch_stats": state.batch_stats})
+            self._fold_cache = state.replace(
+                params=folded["params"], batch_stats=folded["batch_stats"])
+            self._fold_src = state
+        return self._fold_cache
+
     def load_weights(self, filepath, by_name=True, exclude=None):
-        """Restore an Orbax checkpoint directory; `exclude` drops param
-        sub-trees by top-level name (head-swap transfer learning,
-        model.py:2102-2144)."""
+        """Load weights from either an Orbax checkpoint directory or a
+        keras `.h5` file (the reference API: model.load_weights(
+        "mask_rcnn_coco.h5", by_name=True, exclude=[...]),
+        model.py:2102-2144). For h5, `exclude` is the keras layer-name
+        list; for Orbax it drops param sub-trees by top-level name."""
         state = self._ensure_state()
+        if str(filepath).endswith((".h5", ".hdf5")):
+            from ..utils.h5_import import load_h5_weights
+            params, batch_stats, report = load_h5_weights(
+                filepath, state.params, state.batch_stats, exclude=exclude)
+            self._state = state.replace(params=params,
+                                        batch_stats=batch_stats)
+            self._infer_step = None
+            self._last_h5_report = report
+            return self
         restored = restore_checkpoint(filepath, state)
         if exclude:
             params = dict(restored.params)
@@ -218,7 +246,7 @@ class MaskRCNN:
         if cfg.TRANSFORMER:
             batch["depths"] = np.asarray(depths, np.float32)
 
-        outputs = self._infer_step(state, batch)
+        outputs = self._infer_step(self._maybe_fold(state), batch)
         detections = np.asarray(outputs["detections"])
         mrcnn_masks = np.asarray(outputs["mrcnn_masks"])
 
@@ -263,7 +291,7 @@ class MaskRCNN:
         }
         if cfg.TRANSFORMER:
             batch["depths"] = np.asarray(depths, np.float32)
-        outputs = self._infer_step(state, batch)
+        outputs = self._infer_step(self._maybe_fold(state), batch)
         detections = np.asarray(outputs["detections"])
         mrcnn_masks = np.asarray(outputs["mrcnn_masks"])
         results = []
@@ -310,7 +338,7 @@ class MaskRCNN:
         }
         if cfg.TRANSFORMER:
             batch["depths"] = np.asarray(depths, np.float32)
-        result = self._infer_step(state, batch)
+        result = self._infer_step(self._maybe_fold(state), batch)
         result = {k: np.asarray(v_) for k, v_ in result.items()}
         if outputs is not None:
             result = {k: result[k] for k in outputs}

@@ -27,11 +27,35 @@ import numpy as np
 
 
 def _h5_layer_weights(h5file):
-    """{layer_name: {weight_name: array}} from a keras h5 file."""
-    import h5py
+    """{layer_name: {weight_name: array}} from a keras h5 file.
 
+    Follows the reference's root switch exactly (model.py:2122-2123): use
+    the file root when it carries ``layer_names``, else ``model_weights``.
+    When the keras ``layer_names``/``weight_names`` attrs are present the
+    real save_weights protocol is used (weight_names are paths inside the
+    layer group; a nested submodel like ``rpn_model`` lists its inner
+    layers' names — the inner layer is the addressable unit). Falls back
+    to a structural walk for attr-less files."""
     out = {}
-    root = h5file["model_weights"] if "model_weights" in h5file else h5file
+    if "layer_names" not in h5file.attrs and "model_weights" in h5file:
+        root = h5file["model_weights"]
+    else:
+        root = h5file
+
+    if "layer_names" in root.attrs:
+        for lname in root.attrs["layer_names"]:
+            lname = lname.decode() if isinstance(lname, bytes) else lname
+            if lname not in root:
+                continue
+            g = root[lname]
+            for wpath in g.attrs.get("weight_names", []):
+                wpath = (wpath.decode() if isinstance(wpath, bytes)
+                         else wpath)
+                parts = wpath.split("/")
+                inner = parts[-2] if len(parts) > 1 else lname
+                wname = parts[-1].split(":")[0]
+                out.setdefault(inner, {})[wname] = np.asarray(g[wpath])
+        return out
 
     def visit(name, obj):
         import h5py as _h
@@ -82,22 +106,30 @@ def _set_in(tree, path, leaf_name, value):
     node[leaf_name] = value
 
 
-def load_h5_weights(h5_path, params, batch_stats=None, verbose=False):
+def load_h5_weights(h5_path, params, batch_stats=None, verbose=False,
+                    exclude=None):
     """Merge keras h5 weights into (a copy of) flax `params`/`batch_stats`
     by name; unmatched layers are left at their current values (keras
-    by_name=True semantics). Returns (params, batch_stats, report)."""
+    by_name=True semantics). `exclude` is the reference's layer-name
+    exclude list (model.py:2102-2144) — matching layers keep their current
+    values (head-swap transfer learning). Returns
+    (params, batch_stats, report)."""
     import h5py
 
     import jax
 
     params = jax.tree_util.tree_map(np.asarray, params)
     batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats or {})
+    exclude = set(exclude or ())
 
     with h5py.File(h5_path, "r") as f:
         layers = _h5_layer_weights(f)
 
-    loaded, skipped = [], []
+    loaded, skipped, excluded = [], [], []
     for lname, weights in layers.items():
+        if lname in exclude:
+            excluded.append(lname)
+            continue
         path, is_bn = _map_layer(lname)
         if path is None:
             skipped.append(lname)
@@ -128,7 +160,7 @@ def load_h5_weights(h5_path, params, batch_stats=None, verbose=False):
             loaded.append(lname)
         except KeyError:
             skipped.append(lname)
-    report = {"loaded": loaded, "skipped": skipped}
+    report = {"loaded": loaded, "skipped": skipped, "excluded": excluded}
     if verbose:
         print(f"h5 import: {len(loaded)} layers loaded, "
               f"{len(skipped)} skipped: {skipped[:10]}")

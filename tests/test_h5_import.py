@@ -283,3 +283,168 @@ def test_h5_import_full_matterport_layout(tmp_path):
         name = "/".join(getattr(k, "key", str(k)) for k in pth)
         assert not np.array_equal(np.asarray(old), np.asarray(new)), \
             f"batch stat untouched by import: {name}"
+
+
+def test_h5_import_attrs_protocol_real_layout(tmp_path):
+    """Independent cross-check: the fixture in utils/h5_fixture.py rebuilds
+    the real mask_rcnn_coco.h5 tree from the Matterport BUILD ORDER spec
+    (root-level layer groups + layer_names/weight_names attrs + the nested
+    rpn_model + weightless layers), at true COCO dimensions. The importer
+    must consume it through the attrs protocol with zero skips and land
+    every value in the right leaf."""
+    from mulit_view_object_detection_tpu.utils.h5_fixture import (
+        write_matterport_h5)
+
+    class CocoDims(Config):
+        NAME = "coco-dims"
+        NUM_CLASSES = 81
+        BACKBONE = "resnet101"
+        TOP_DOWN_PYRAMID_SIZE = 256
+        FPN_CLASSIF_FC_LAYERS_SIZE = 1024
+        IMAGE_MIN_DIM = 64        # weight shapes don't depend on image dim
+        IMAGE_MAX_DIM = 64
+        RPN_ANCHOR_SCALES = (8, 16, 32, 64, 128)
+        PRE_NMS_LIMIT = 64
+        POST_NMS_ROIS_INFERENCE = 8
+        DETECTION_MAX_INSTANCES = 4
+        MAX_GT_INSTANCES = 4
+
+    cfg = CocoDims()
+    model = MaskRCNN(cfg)
+    batch = make_dummy_batch(cfg, training=False)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = jax.jit(
+        lambda: model.init(rngs, batch, training=False))()
+    params = variables["params"]
+    batch_stats = variables["batch_stats"]
+
+    path = str(tmp_path / "mask_rcnn_coco.h5")
+    written = write_matterport_h5(path, num_classes=81,
+                                  architecture="resnet101", seed=3)
+
+    new_params, new_bs, report = load_h5_weights(path, params, batch_stats)
+
+    assert not report["skipped"], f"skipped: {report['skipped']}"
+    # spot checks across every module family, incl. the nested rpn_model
+    np.testing.assert_array_equal(
+        new_params["backbone"]["conv1"]["kernel"],
+        written["conv1"]["conv1/kernel"])
+    np.testing.assert_array_equal(
+        new_params["backbone"]["res4w"]["conv2b"]["kernel"],
+        written["res4w_branch2b"]["res4w_branch2b/kernel"])
+    np.testing.assert_array_equal(
+        new_bs["backbone"]["res4w"]["bn2c"]["BatchNorm_0"]["var"],
+        written["bn4w_branch2c"]["bn4w_branch2c/moving_variance"])
+    np.testing.assert_array_equal(
+        new_params["rpn"]["rpn_conv_shared"]["kernel"],
+        written["rpn_model"]["rpn_conv_shared/kernel"])
+    np.testing.assert_array_equal(
+        new_params["rpn"]["rpn_bbox_pred"]["bias"],
+        written["rpn_model"]["rpn_bbox_pred/bias"])
+    np.testing.assert_array_equal(
+        new_params["classifier_head"]["mrcnn_bbox_fc"]["kernel"],
+        written["mrcnn_bbox_fc"]["mrcnn_bbox_fc/kernel"])
+    np.testing.assert_array_equal(
+        new_params["mask_head"]["mrcnn_mask_deconv"]["kernel"],
+        np.transpose(
+            written["mrcnn_mask_deconv"]["mrcnn_mask_deconv/kernel"]
+            [::-1, ::-1], (0, 1, 3, 2)))
+    # every leaf overwritten (the fixture covers the whole tree)
+    for (pth, old), new in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_leaves(new_params)):
+        name = "/".join(getattr(k, "key", str(k)) for k in pth)
+        assert not np.array_equal(np.asarray(old), np.asarray(new)), \
+            f"param untouched: {name}"
+
+
+def test_h5_import_exclude(tmp_path):
+    """exclude= keeps the listed keras layers at their current values —
+    the reference's head-swap transfer recipe (model.py:2102-2144,
+    interior_multi.py:447-452 excludes the class-specific heads)."""
+    from mulit_view_object_detection_tpu.utils.h5_fixture import (
+        write_matterport_h5)
+
+    cfg = H5Cfg()
+    model = MaskRCNN(cfg)
+    batch = make_dummy_batch(cfg, training=False)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = jax.jit(
+        lambda: model.init(rngs, batch, training=False))()
+    params = variables["params"]
+
+    path = str(tmp_path / "w.h5")
+    write_matterport_h5(
+        path, num_classes=cfg.NUM_CLASSES, architecture="resnet50",
+        top_down=cfg.TOP_DOWN_PYRAMID_SIZE,
+        fc_size=cfg.FPN_CLASSIF_FC_LAYERS_SIZE)
+
+    exclude = ["mrcnn_class_logits", "mrcnn_bbox_fc", "mrcnn_mask"]
+    new_params, _, report = load_h5_weights(
+        path, params, variables["batch_stats"], exclude=exclude)
+
+    for lname in exclude:
+        assert lname in report["excluded"]
+    np.testing.assert_array_equal(
+        new_params["classifier_head"]["mrcnn_class_logits"]["kernel"],
+        np.asarray(params["classifier_head"]["mrcnn_class_logits"]
+                   ["kernel"]))
+    # non-excluded layers did load
+    assert not np.array_equal(
+        np.asarray(new_params["backbone"]["conv1"]["kernel"]),
+        np.asarray(params["backbone"]["conv1"]["kernel"]))
+
+
+@pytest.mark.slow
+def test_coco_h5_end_to_end_detect_1024(tmp_path):
+    """BASELINE config #1 shape, end-to-end through the PUBLIC API: build
+    the inference engine at the COCO operating point (resnet101, 81
+    classes, 1024^2 molding), load a reconstructed-layout
+    mask_rcnn_coco.h5 via compat.MaskRCNN.load_weights('.h5', exclude=),
+    and run detect() on a 1024^2 image (model.py:2102-2144 +
+    demo workflow)."""
+    from mulit_view_object_detection_tpu import compat
+    from mulit_view_object_detection_tpu.utils.h5_fixture import (
+        write_matterport_h5)
+
+    class CocoInferConfig(Config):
+        NAME = "coco"
+        NUM_CLASSES = 81
+        BACKBONE = "resnet101"
+        TOP_DOWN_PYRAMID_SIZE = 256
+        FPN_CLASSIF_FC_LAYERS_SIZE = 1024
+        IMAGE_MIN_DIM = 800
+        IMAGE_MAX_DIM = 1024
+        RPN_ANCHOR_SCALES = (32, 64, 128, 256, 512)
+        # loop sizes trimmed for the 1-core CPU CI host; the molded image
+        # shape (1024^2) and every weight shape are the real COCO ones
+        PRE_NMS_LIMIT = 256
+        POST_NMS_ROIS_INFERENCE = 32
+        DETECTION_MAX_INSTANCES = 16
+        MAX_GT_INSTANCES = 16
+        IMAGES_PER_GPU = 1
+
+    h5_path = str(tmp_path / "mask_rcnn_coco.h5")
+    write_matterport_h5(h5_path, num_classes=81, architecture="resnet101",
+                        seed=11, scale=0.02)
+
+    model = compat.MaskRCNN(mode="inference", config=CocoInferConfig(),
+                            model_dir=str(tmp_path))
+    model.load_weights(h5_path, by_name=True)
+    report = model._last_h5_report
+    assert not report["skipped"], report["skipped"]
+
+    rng = np.random.RandomState(0)
+    image = (rng.rand(1024, 1024, 3) * 255).astype(np.uint8)
+    results = model.detect([image])
+    assert len(results) == 1
+    r = results[0]
+    n = r["rois"].shape[0]
+    assert r["class_ids"].shape == (n,)
+    assert r["scores"].shape == (n,)
+    assert r["masks"].shape[:2] == (1024, 1024)
+    assert np.isfinite(r["scores"]).all()
