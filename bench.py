@@ -57,6 +57,9 @@ def main():
         samples = 20
         COMPUTE_DTYPE = "bfloat16"
         USE_PALLAS = os.environ.get("BENCH_USE_PALLAS", "1") == "1"
+        # serving mode: frozen BNs pre-folded into conv weights
+        # (utils/bn_fold.py; exactness covered by tests/test_bn_fold.py)
+        FOLD_BN = os.environ.get("BENCH_FOLD_BN", "1") == "1"
 
     BenchConfig.IMAGES_PER_GPU = args.batch
     cfg = BenchConfig()
@@ -73,6 +76,12 @@ def main():
     # init under jit: eager init crashes the relayed TPU worker at B>=2
     variables = jax.jit(
         lambda r, b: model.init(r, b, training=False))(rngs, batch)
+    if cfg.FOLD_BN:
+        from mulit_view_object_detection_tpu.utils.bn_fold import (
+            fold_bn_variables)
+        variables, _ = fold_bn_variables(
+            jax.tree_util.tree_map(np.asarray, variables))
+        variables = jax.device_put(variables)
 
     import functools
 

@@ -96,6 +96,13 @@ class Config:
     USE_RPN_ROIS = True
     TRAIN_BN = False
     GRADIENT_CLIP_NORM = 5.0
+    # Serving-time BatchNorm folding: with frozen BNs (TRAIN_BN=False,
+    # inference) bake gamma/sqrt(var+eps) into the preceding conv's
+    # kernel/bias (utils/bn_fold.py) and run BNs as pre-folded affines.
+    # Removes the per-BN rsqrt/mul chains from the compiled graph
+    # (~1.5 ms/frame on the flagship trace). Training is unaffected —
+    # the fold only applies to training=False applies.
+    FOLD_BN = False
 
     # ------------------------------------------------------------------
     # Multi-view keys — first-class here, ad hoc in the reference
@@ -124,7 +131,12 @@ class Config:
     vmin_z = 1.0             # z (depth) extent
     vmax_z = 10.0
     samples = 20             # depth samples per ray in reprojection
-    GRID_DIST = 6.0          # camera-anchored grid distance (projection.py:86-97)
+    GRID_DIST = 6.0          # camera-anchored grid distance — consumed by
+                             # ops.projection.camera_anchored_grid_points /
+                             # examples/projection_playground.py
+                             # --camera-anchored (Notebook/projection.py:
+                             # 86-97; the reference's model files never
+                             # read it either — sandbox-only knob)
 
     # Transformer fusion hyperparameters — hardcoded at the call site in the
     # reference (model_transformer.py:361); configurable here.

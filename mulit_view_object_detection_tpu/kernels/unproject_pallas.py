@@ -96,6 +96,108 @@ def _pad_to(n, m):
     return (n + m - 1) // m * m
 
 
+# ---------------------------------------------------------------------------
+# Fused-layout variant: out[b, n, v, c] (view minor-adjacent to channels),
+# so the caller's per-voxel cross-view channel concat
+# (GridFusion conv3d/ident: transpose+reshape to [B, X, Y, Z, V*C],
+# models/fusion.py) becomes a FREE reshape, and the pre-fusion relu runs in
+# the kernel epilogue instead of as a separate HBM pass. Removes the
+# measured reshape.183x (~0.43 ms) + convert_maximum (~0.25 ms/level)
+# fusions from the flagship trace.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_fused(x_ref, y_ref, f_ref, o_ref, *, fh, fw, relu, v):
+    # One grid step computes ALL v views of a voxel tile (the per-view
+    # feature maps are co-resident in VMEM) and writes the full
+    # [tile, v*c] block in one lane-dim concat — Mosaic's last-two-dims
+    # constraint is met because the trailing block dims equal the array's.
+    p = f_ref.shape[1]
+    mxu_dtype = (jnp.bfloat16 if f_ref.dtype == jnp.bfloat16
+                 else jnp.float32)
+    outs = []
+    for wi in range(v):
+        x = x_ref[wi].reshape(-1)
+        y = y_ref[wi].reshape(-1)
+        w = _build_w(x, y, fh, fw, p, mxu_dtype)
+        out = jnp.dot(w, f_ref[wi].astype(mxu_dtype),
+                      preferred_element_type=jnp.float32)
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        outs.append(out.astype(o_ref.dtype))
+    o_ref[0] = (outs[0] if v == 1
+                else jnp.concatenate(outs, axis=-1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def bilinear_gather_fused(feats, x, y, fh, fw, v, tile=DEFAULT_TILE,
+                          relu=False):
+    """feats: [B*V, P, C]; x, y: [B*V, N]. Returns [B, N, V*C] — the
+    views' channels concatenated (view-major), optionally relu'd in the
+    kernel epilogue."""
+    return _forward_fused(feats, x, y, fh, fw, v, tile, relu)
+
+
+def _forward_fused(feats, x, y, fh, fw, v, tile, relu):
+    assert tile % 128 == 0, "tile must be a multiple of 128 (TPU lanes)"
+    bv, p, c = feats.shape
+    assert bv % v == 0
+    b = bv // v
+    n = x.shape[1]
+    n_pad = _pad_to(n, tile)
+    if n_pad != n:
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n)), constant_values=-10.0)
+        y = jnp.pad(y, ((0, 0), (0, n_pad - n)), constant_values=-10.0)
+    tiles = n_pad // tile
+    rows = tile // 128
+    x = x.reshape(bv, n_pad // 128, 128)
+    y = y.reshape(bv, n_pad // 128, 128)
+
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_fused, fh=fh, fw=fw, relu=relu, v=v),
+        grid=(b, tiles),
+        in_specs=[
+            pl.BlockSpec((v, rows, 128), lambda bb, t: (bb, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((v, rows, 128), lambda bb, t: (bb, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((v, p, c), lambda bb, t: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, v * c), lambda bb, t: (bb, t, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, v * c), feats.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bv * n_pad * p * c,
+            bytes_accessed=bv * (p * c * 4 + n_pad * (8 + c * 4)),
+            transcendentals=0),
+        interpret=_interpret(),
+    )(x, y, feats)
+    return out[:, :n]
+
+
+def _fwd_rule_fused(feats, x, y, fh, fw, v, tile, relu):
+    out = _forward_fused(feats, x, y, fh, fw, v, tile, relu)
+    res = (x, y, out if relu else None)
+    return out, res
+
+
+def _bwd_rule_fused(fh, fw, v, tile, relu, res, g):
+    (x, y, out) = res
+    if relu:
+        g = jnp.where(out > 0, g, 0).astype(g.dtype)
+    b, n, vc = g.shape
+    c = vc // v
+    # back to the per-view row layout the plain backward kernel expects
+    g_bv = g.reshape(b, n, v, c).transpose(0, 2, 1, 3).reshape(b * v, n, c)
+    df, _, _ = _bwd_rule(fh, fw, tile, (x, y), g_bv)
+    return df, None, None
+
+
+bilinear_gather_fused.defvjp(_fwd_rule_fused, _bwd_rule_fused)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def bilinear_gather(feats, x, y, fh, fw, tile=DEFAULT_TILE):
     """feats: [BV, P, C] (P = fh*fw); x, y: [BV, N] feature-plane coords.
@@ -238,3 +340,36 @@ def unproject_features_pallas(feats, Rcam, Kmat, image_shape, grid_pts,
         tile = auto_tile(fh * fw, c, bv=b * v)
     out = bilinear_gather(flat, x, y, fh, fw, tile)
     return out.reshape(b, v, nx, ny, nz, c)
+
+
+def unproject_features_pallas_fused(feats, Rcam, Kmat, image_shape,
+                                    grid_pts, grid_shape, relu=False,
+                                    tile=None):
+    """Like unproject_features_pallas, but emits the view-concat voxel
+    layout [B, nx, ny, nz, V*C] directly (+ optional epilogue relu) — the
+    exact input GridFusion conv3d/ident consume, with no transpose pass.
+    relu(concat(views)) == concat(relu(view)) so the epilogue is exact."""
+    from ..ops.projection import _to_hom4, pose_inverse
+
+    b, v, fh, fw, c = feats.shape
+    nx, ny, nz = grid_shape
+    rsz_h = fh / float(image_shape[0])
+    rsz_w = fw / float(image_shape[1])
+
+    w2c = pose_inverse(Rcam)
+    KR = jnp.einsum("bij,bvjk->bvik", Kmat, w2c)
+    pose0 = _to_hom4(Rcam[:, 0])
+    M = jnp.einsum("bvij,bjk->bvik", KR, pose0)
+    uvw = jnp.einsum("bvij,jn->bvin", M, grid_pts)
+    z = uvw[:, :, 2]
+    x = (uvw[:, :, 0] / z * rsz_w).reshape(b * v, -1)
+    y = (uvw[:, :, 1] / z * rsz_h).reshape(b * v, -1)
+
+    flat = feats.reshape(b * v, fh * fw, c)
+    if tile is None:
+        # one grid step holds ALL v views' W temporaries + features, so
+        # the single-view auto tile overflows the 16 MB scoped-vmem stack
+        # (measured: 17.96M at tile=4096/P=64/v=2) — scale it down by v
+        tile = max(1024, auto_tile(fh * fw, c, bv=b * v) // v)
+    out = bilinear_gather_fused(flat, x, y, fh, fw, v, tile, relu)
+    return out.reshape(b, nx, ny, nz, v * c)

@@ -76,6 +76,9 @@ class MaskRCNN(nn.Module):
         images = batch["images"]
         b, v, h, w, _ = images.shape
         train_bn = bool(cfg.TRAIN_BN) and training
+        # FOLD_BN: serving mode — frozen BNs become pre-folded affines
+        # (see utils/bn_fold.py); inference-only, exact same param tree.
+        fold_bn = bool(getattr(cfg, "FOLD_BN", False)) and not training
         multiview = v > 1 or cfg.NUM_VIEWS > 1
 
         # ------------------------------------------------------------------
@@ -85,7 +88,7 @@ class MaskRCNN(nn.Module):
         stage4_blocks = getattr(cfg, "RESNET50_STAGE4_BLOCKS", None)
         _, c2, c3, c4, c5 = ResNet(
             cfg.BACKBONE, stage5=True, train_bn=train_bn,
-            stage4_blocks=stage4_blocks, dtype=dtype,
+            stage4_blocks=stage4_blocks, dtype=dtype, fold_bn=fold_bn,
             remat=bool(getattr(cfg, "REMAT", False)) and training,
             name="backbone")(x)
         p2, p3, p4, p5, p6 = FPN(
@@ -149,10 +152,10 @@ class MaskRCNN(nn.Module):
 
         classifier = ClassifierHead(
             cfg.NUM_CLASSES, cfg.POOL_SIZE, cfg.FPN_CLASSIF_FC_LAYERS_SIZE,
-            train_bn, dtype, name="classifier_head")
+            train_bn, dtype, fold_bn, name="classifier_head")
         mask_filters = 128 if multiview else 256  # model_multi.py:1412-1438
         mask_head = MaskHead(cfg.NUM_CLASSES, mask_filters, train_bn, dtype,
-                             name="mask_head")
+                             fold_bn, name="mask_head")
 
         outputs = {
             "rpn_class_logits": rpn_class_logits,
@@ -277,10 +280,14 @@ class MaskRCNN(nn.Module):
             jax.default_backend() in ("tpu", "axon")
         if use_pallas:
             from ..kernels.reproject_pallas import project_grid_pallas
-            from ..kernels.unproject_pallas import unproject_features_pallas
+            from ..kernels.unproject_pallas import (
+                unproject_features_pallas, unproject_features_pallas_fused)
             unproject = unproject_features_pallas
         else:
             unproject = unproject_features
+        # conv3d/ident consume relu(concat-on-channels(views)): the fused
+        # kernel emits that layout directly with the relu in its epilogue
+        fuse_layout = use_pallas and cfg.GRID_REAS in ("conv3d", "ident")
         out, zeros = [], set()
         for li, p in enumerate(levels):
             if li in zero_levels:                 # PG2/PG3 memory cap
@@ -297,15 +304,23 @@ class MaskRCNN(nn.Module):
             remat = bool(getattr(cfg, "REMAT", False)) and training
             Fusion = nn.remat(GridFusion) if remat else GridFusion
             Collapse = nn.remat(DepthCollapse) if remat else DepthCollapse
+            fold_bn = (bool(getattr(cfg, "FOLD_BN", False))
+                       and not training)
             fusion = Fusion(cfg.GRID_REAS, cfg.TOP_DOWN_PYRAMID_SIZE, v,
                             bool(cfg.TRAIN_BN) and training, dtype,
+                            fold_bn, inputs_fused=fuse_layout,
                             name=f"grid_fusion_p{li + 2}")
             collapse = Collapse(
                 cfg.GRID_REAS, cfg.TOP_DOWN_PYRAMID_SIZE, cfg.samples,
                 bool(cfg.TRAIN_BN) and training, dtype,
-                name=f"depth_collapse_p{li + 2}")
-            vox = unproject(p, batch["Rcam"], batch["Kmat"],
-                            image_shape, grid_pts, grid_shape)
+                fold_bn, name=f"depth_collapse_p{li + 2}")
+            if fuse_layout:
+                vox = unproject_features_pallas_fused(
+                    p, batch["Rcam"], batch["Kmat"], image_shape,
+                    grid_pts, grid_shape, relu=True)
+            else:
+                vox = unproject(p, batch["Rcam"], batch["Kmat"],
+                                image_shape, grid_pts, grid_shape)
             fused = fusion(vox)
             s = p.shape[2]                        # square feature maps
             if use_pallas and method == "nearest":

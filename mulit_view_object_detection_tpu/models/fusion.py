@@ -11,9 +11,11 @@ Fusion modes match `grid_reas` (model_multi.py:394-463):
              (j, i, f, o), forget_bias=1, tanh activation — via lax.scan
              instead of K.rnn.
 
-One module instance is applied to every FPN level by the caller, which in
-linen shares the weights across levels — the reference does the same via its
-module-global `reused_lay` dict (model_multi.py:45, 415-439).
+The caller instantiates one module PER FPN level (detector.py builds a
+separate GridFusion/DepthCollapse pair for each level): the reference's
+`reused_lay` dict is keyed by a per-level `name` prefix, so its weights are
+reused across *calls within a level*, not across levels
+(model_multi.py:415-439 with the per-level scopes at model_multi.py:2387-2391).
 
 `DepthCollapse` squeezes the reprojected ray-sample axis to a 2D map
 (depth_sampling, model_multi.py:466-488).
@@ -81,57 +83,68 @@ class GridFusion(nn.Module):
     num_views: int
     train_bn: bool = False
     dtype: Any = jnp.float32
+    fold_bn: bool = False
+    # inputs_fused: grids arrive as [B, X, Y, Z, V*C] with the pre-fusion
+    # relu already applied (the Pallas unprojection kernel's epilogue,
+    # kernels/unproject_pallas.py::bilinear_gather_fused) — skips the
+    # transpose+reshape+relu HBM passes. Only conv3d/ident consume this.
+    inputs_fused: bool = False
 
     @nn.compact
     def __call__(self, grids):
-        """grids: [B, V, X, Y, Z, C] -> fused [B, X, Y, Z, C]."""
+        """grids: [B, V, X, Y, Z, C] -> fused [B, X, Y, Z, C]
+        (or [B, X, Y, Z, V*C] when inputs_fused)."""
         x = grids
         if self.mode == "add":
             x = jnp.sum(x, axis=1)
-            x = BatchNorm(self.train_bn, self.dtype, name="fuse_bn")(x)
+            x = BatchNorm(self.train_bn, self.dtype, self.fold_bn, name="fuse_bn")(x)
             return nn.relu(x)
 
         if self.mode == "mean":
             return jnp.mean(x, axis=1)
 
         if self.mode == "ident":
-            b, v, nx, ny, nz, c = x.shape
-            x = x.transpose(0, 2, 3, 4, 1, 5).reshape(b, nx, ny, nz, v * c)
-            x = nn.relu(x)
+            if not self.inputs_fused:
+                b, v, nx, ny, nz, c = x.shape
+                x = x.transpose(0, 2, 3, 4, 1, 5).reshape(
+                    b, nx, ny, nz, v * c)
+                x = nn.relu(x)
             x = nn.Conv(self.channels, (1, 1, 1), name="ident_conv",
                         dtype=self.dtype)(x)
-            x = BatchNorm(self.train_bn, self.dtype, name="fuse_bn")(x)
+            x = BatchNorm(self.train_bn, self.dtype, self.fold_bn, name="fuse_bn")(x)
             return nn.relu(x)
 
         if self.mode == "conv3d":
-            b, v, nx, ny, nz, c = x.shape
-            x = x.transpose(0, 2, 3, 4, 1, 5).reshape(b, nx, ny, nz, v * c)
-            x = nn.relu(x)
+            if not self.inputs_fused:
+                b, v, nx, ny, nz, c = x.shape
+                x = x.transpose(0, 2, 3, 4, 1, 5).reshape(
+                    b, nx, ny, nz, v * c)
+                x = nn.relu(x)
             x = nn.Conv(self.channels * 2, (3, 3, 3), strides=(2, 2, 2),
                         padding="SAME", name="down1", dtype=self.dtype)(x)
-            x = BatchNorm(self.train_bn, self.dtype, name="bn1")(x)
+            x = BatchNorm(self.train_bn, self.dtype, self.fold_bn, name="bn1")(x)
             conv1 = nn.relu(x)
             x = nn.Conv(self.channels * 4, (3, 3, 3), strides=(2, 2, 2),
                         padding="SAME", name="down2", dtype=self.dtype)(conv1)
-            x = BatchNorm(self.train_bn, self.dtype, name="bn2")(x)
+            x = BatchNorm(self.train_bn, self.dtype, self.fold_bn, name="bn2")(x)
             conv2 = nn.relu(x)
             x = nn.ConvTranspose(self.channels * 2, (3, 3, 3),
                                  strides=(2, 2, 2), padding="SAME",
                                  name="up1", dtype=self.dtype)(conv2)
-            x = BatchNorm(self.train_bn, self.dtype, name="bn_up1")(x)
+            x = BatchNorm(self.train_bn, self.dtype, self.fold_bn, name="bn_up1")(x)
             deconv1 = nn.relu(x)
             x = jnp.concatenate([deconv1, conv1], axis=-1)
             x = nn.ConvTranspose(self.channels, (3, 3, 3), strides=(2, 2, 2),
                                  padding="SAME", name="up2",
                                  dtype=self.dtype)(x)
-            x = BatchNorm(self.train_bn, self.dtype, name="bn_up2")(x)
+            x = BatchNorm(self.train_bn, self.dtype, self.fold_bn, name="bn_up2")(x)
             return nn.relu(x)
 
         if self.mode == "lstm3d":
             x = nn.relu(x)
             x = ConvLSTM3D(self.channels, dtype=self.dtype,
                            name="convlstm")(x)
-            x = BatchNorm(self.train_bn, self.dtype, name="fuse_bn")(x)
+            x = BatchNorm(self.train_bn, self.dtype, self.fold_bn, name="fuse_bn")(x)
             return nn.relu(x)
 
         raise ValueError(f"unknown fusion mode {self.mode}")
@@ -144,6 +157,7 @@ class DepthCollapse(nn.Module):
     samples: int
     train_bn: bool = False
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -156,13 +170,13 @@ class DepthCollapse(nn.Module):
             x = nn.Conv(feat, (1, 1), feature_group_count=feat,
                         name="dw1", dtype=self.dtype)(x)
             x = nn.Conv(512, (1, 1), name="pw1", dtype=self.dtype)(x)
-            x = BatchNorm(self.train_bn, self.dtype, name="bn1")(x)
+            x = BatchNorm(self.train_bn, self.dtype, self.fold_bn, name="bn1")(x)
             x = nn.relu(x)
             x = nn.Conv(512, (1, 1), feature_group_count=512,
                         name="dw2", dtype=self.dtype)(x)
             x = nn.Conv(self.channels, (1, 1), name="pw2",
                         dtype=self.dtype)(x)
-            x = BatchNorm(self.train_bn, self.dtype, name="bn2")(x)
+            x = BatchNorm(self.train_bn, self.dtype, self.fold_bn, name="bn2")(x)
             return nn.relu(x)
         # per-channel 1x1 conv collapsing samples -> 1, weights shared
         # across channels; BN over the single collapsed feature exactly as
@@ -172,6 +186,6 @@ class DepthCollapse(nn.Module):
         x = x.reshape(b * c, s1, s2, d)
         x = nn.Conv(1, (1, 1), name="collapse", dtype=self.dtype)(x)
         x = x.reshape(b, c, s1, s2, 1)
-        x = BatchNorm(self.train_bn, self.dtype, name="bn")(x)
+        x = BatchNorm(self.train_bn, self.dtype, self.fold_bn, name="bn")(x)
         x = nn.relu(x)
         return x[..., 0].transpose(0, 2, 3, 1)

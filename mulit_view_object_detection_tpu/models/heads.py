@@ -28,6 +28,7 @@ class ClassifierHead(nn.Module):
     fc_layers_size: int = 1024
     train_bn: bool = False
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, pooled):
@@ -38,11 +39,11 @@ class ClassifierHead(nn.Module):
         x = nn.Conv(self.fc_layers_size, (self.pool_size, self.pool_size),
                     padding="VALID", name="mrcnn_class_conv1",
                     dtype=self.dtype)(x)
-        x = BatchNorm(self.train_bn, self.dtype, name="mrcnn_class_bn1")(x)
+        x = BatchNorm(self.train_bn, self.dtype, self.fold_bn, name="mrcnn_class_bn1")(x)
         x = nn.relu(x)
         x = nn.Conv(self.fc_layers_size, (1, 1), name="mrcnn_class_conv2",
                     dtype=self.dtype)(x)
-        x = BatchNorm(self.train_bn, self.dtype, name="mrcnn_class_bn2")(x)
+        x = BatchNorm(self.train_bn, self.dtype, self.fold_bn, name="mrcnn_class_bn2")(x)
         x = nn.relu(x)
         shared = x.reshape(b * n, self.fc_layers_size)
 
@@ -61,6 +62,7 @@ class MaskHead(nn.Module):
     conv_filters: int = 256
     train_bn: bool = False
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, pooled):
@@ -70,7 +72,7 @@ class MaskHead(nn.Module):
         for i in range(1, 5):
             x = nn.Conv(self.conv_filters, (3, 3), padding="SAME",
                         name=f"mrcnn_mask_conv{i}", dtype=self.dtype)(x)
-            x = BatchNorm(self.train_bn, self.dtype,
+            x = BatchNorm(self.train_bn, self.dtype, self.fold_bn,
                           name=f"mrcnn_mask_bn{i}")(x)
             x = nn.relu(x)
         x = nn.ConvTranspose(self.conv_filters, (2, 2), strides=(2, 2),

@@ -25,14 +25,43 @@ import jax.numpy as jnp
 BLOCK_COUNTS = {"resnet50": 3, "resnet101": 22}
 
 
-class BatchNorm(nn.Module):
-    """BN that is frozen (running stats) when train_bn is False — the
-    reference's default regime (config.py:208, model_multi.py:71-86)."""
-    train_bn: bool = False
+class _AffineBN(nn.Module):
+    """Inference-only replacement for nn.BatchNorm with an IDENTICAL
+    parameter/variable tree (scale/bias params + mean/var batch_stats, so
+    checkpoints and the h5 importer are layout-compatible), computing the
+    pre-folded affine x*scale + bias. Used via Config.FOLD_BN together
+    with utils.bn_fold.fold_bn_variables, which bakes
+    gamma/sqrt(var+eps) into the preceding conv (or into scale/bias here
+    when no conv precedes): removes the per-BN rsqrt/mul scalar chains
+    from the serving graph."""
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        self.variable("batch_stats", "mean",
+                      lambda: jnp.zeros((c,), jnp.float32))
+        self.variable("batch_stats", "var",
+                      lambda: jnp.ones((c,), jnp.float32))
+        return (x.astype(self.dtype) * scale.astype(self.dtype)
+                + bias.astype(self.dtype))
+
+
+class BatchNorm(nn.Module):
+    """BN that is frozen (running stats) when train_bn is False — the
+    reference's default regime (config.py:208, model_multi.py:71-86).
+    With fold=True (Config.FOLD_BN serving mode) the frozen BN is the
+    pre-folded affine form instead (same parameter tree)."""
+    train_bn: bool = False
+    dtype: Any = jnp.float32
+    fold: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if self.fold and not self.train_bn:
+            return _AffineBN(self.dtype, name="BatchNorm_0")(x)
         return nn.BatchNorm(
             use_running_average=not self.train_bn,
             momentum=0.9, epsilon=1e-3, dtype=self.dtype,
@@ -46,6 +75,7 @@ class _Bottleneck(nn.Module):
     conv_shortcut: bool = False
     train_bn: bool = False
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -53,18 +83,18 @@ class _Bottleneck(nn.Module):
         shortcut = x
         y = nn.Conv(f1, (1, 1), strides=self.strides, name="conv2a",
                     dtype=self.dtype)(x)
-        y = BatchNorm(self.train_bn, self.dtype, name="bn2a")(y)
+        y = BatchNorm(self.train_bn, self.dtype, self.fold_bn, name="bn2a")(y)
         y = nn.relu(y)
         y = nn.Conv(f2, (3, 3), padding="SAME", name="conv2b",
                     dtype=self.dtype)(y)
-        y = BatchNorm(self.train_bn, self.dtype, name="bn2b")(y)
+        y = BatchNorm(self.train_bn, self.dtype, self.fold_bn, name="bn2b")(y)
         y = nn.relu(y)
         y = nn.Conv(f3, (1, 1), name="conv2c", dtype=self.dtype)(y)
-        y = BatchNorm(self.train_bn, self.dtype, name="bn2c")(y)
+        y = BatchNorm(self.train_bn, self.dtype, self.fold_bn, name="bn2c")(y)
         if self.conv_shortcut:
             shortcut = nn.Conv(f3, (1, 1), strides=self.strides, name="conv1",
                                dtype=self.dtype)(x)
-            shortcut = BatchNorm(self.train_bn, self.dtype,
+            shortcut = BatchNorm(self.train_bn, self.dtype, self.fold_bn,
                                  name="bn1")(shortcut)
         return nn.relu(y + shortcut)
 
@@ -75,6 +105,7 @@ class ResNet(nn.Module):
     train_bn: bool = False
     stage4_blocks: int | None = None  # override (multi-view fork quirk)
     dtype: Any = jnp.float32
+    fold_bn: bool = False
     # Rematerialize each bottleneck in the backward pass: the train step is
     # HBM-bound (BENCH_NOTES MFU table), so re-computing block activations
     # instead of reading them back from HBM trades cheap FLOPs for the
@@ -90,41 +121,41 @@ class ResNet(nn.Module):
         y = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
         y = nn.Conv(64, (7, 7), strides=2, padding="VALID", name="conv1",
                     dtype=self.dtype)(y)
-        y = BatchNorm(self.train_bn, self.dtype, name="bn_conv1")(y)
+        y = BatchNorm(self.train_bn, self.dtype, self.fold_bn, name="bn_conv1")(y)
         y = nn.relu(y)
         c1 = y = nn.max_pool(y, (3, 3), strides=(2, 2), padding="SAME")
 
         # Stage 2
         y = Bottleneck((64, 64, 256), 1, True, self.train_bn, self.dtype,
-                       name="res2a")(y)
+                       fold_bn=self.fold_bn, name="res2a")(y)
         y = Bottleneck((64, 64, 256), train_bn=self.train_bn,
-                       dtype=self.dtype, name="res2b")(y)
+                       dtype=self.dtype, fold_bn=self.fold_bn, name="res2b")(y)
         c2 = y = Bottleneck((64, 64, 256), train_bn=self.train_bn,
-                            dtype=self.dtype, name="res2c")(y)
+                            dtype=self.dtype, fold_bn=self.fold_bn, name="res2c")(y)
         # Stage 3
         y = Bottleneck((128, 128, 512), 2, True, self.train_bn, self.dtype,
-                       name="res3a")(y)
+                       fold_bn=self.fold_bn, name="res3a")(y)
         for b in "bcd":
             y = Bottleneck((128, 128, 512), train_bn=self.train_bn,
-                           dtype=self.dtype, name=f"res3{b}")(y)
+                           dtype=self.dtype, fold_bn=self.fold_bn, name=f"res3{b}")(y)
         c3 = y
         # Stage 4
         y = Bottleneck((256, 256, 1024), 2, True, self.train_bn, self.dtype,
-                       name="res4a")(y)
+                       fold_bn=self.fold_bn, name="res4a")(y)
         n_blocks = (self.stage4_blocks if self.stage4_blocks is not None
                     else BLOCK_COUNTS[self.architecture])
         for i in range(n_blocks):
             y = Bottleneck((256, 256, 1024), train_bn=self.train_bn,
-                           dtype=self.dtype, name=f"res4{chr(98 + i)}")(y)
+                           dtype=self.dtype, fold_bn=self.fold_bn, name=f"res4{chr(98 + i)}")(y)
         c4 = y
         # Stage 5
         if self.stage5:
             y = Bottleneck((512, 512, 2048), 2, True, self.train_bn,
-                           self.dtype, name="res5a")(y)
+                           self.dtype, fold_bn=self.fold_bn, name="res5a")(y)
             y = Bottleneck((512, 512, 2048), train_bn=self.train_bn,
-                           dtype=self.dtype, name="res5b")(y)
+                           dtype=self.dtype, fold_bn=self.fold_bn, name="res5b")(y)
             c5 = Bottleneck((512, 512, 2048), train_bn=self.train_bn,
-                            dtype=self.dtype, name="res5c")(y)
+                            dtype=self.dtype, fold_bn=self.fold_bn, name="res5c")(y)
         else:
             c5 = None
         return [c1, c2, c3, c4, c5]

@@ -125,3 +125,75 @@ def test_unproject_pallas_matches_reference(rng):
         jnp.asarray(feats), jnp.asarray(Rcam), jnp.asarray(K[None]),
         (64, 64), jnp.asarray(pts), (8, 8, 8), tile=128))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_bilinear_gather_fused_layout_and_relu(rng):
+    """bilinear_gather_fused must equal the plain gather re-laid-out to
+    [B, N, V, C] with relu applied (the epilogue/concat-layout contract),
+    and its VJP must carry the relu mask."""
+    from mulit_view_object_detection_tpu.kernels.unproject_pallas import (
+        bilinear_gather_fused)
+
+    b, v, fh, fw, c = 2, 2, 8, 8, 4
+    bv = b * v
+    n = 37
+    feats = (rng.rand(bv, fh * fw, c) - 0.5).astype(np.float32)
+    x = rng.uniform(-1.0, fw + 0.5, (bv, n)).astype(np.float32)
+    y = rng.uniform(-1.0, fh + 0.5, (bv, n)).astype(np.float32)
+
+    plain = np.asarray(bilinear_gather(
+        jnp.asarray(feats), jnp.asarray(x), jnp.asarray(y), fh, fw,
+        tile=128))                                 # [BV, N, C]
+    expect = np.maximum(
+        plain.reshape(b, v, n, c).transpose(0, 2, 1, 3), 0.0
+    ).reshape(b, n, v * c)
+
+    fused = np.asarray(bilinear_gather_fused(
+        jnp.asarray(feats), jnp.asarray(x), jnp.asarray(y), fh, fw, v,
+        128, True))                                # [B, N, V*C]
+    np.testing.assert_allclose(fused, expect, atol=1e-5)
+
+    # gradients: fused+relu vs explicit relu over the plain kernel
+    def loss_fused(f):
+        out = bilinear_gather_fused(f, jnp.asarray(x), jnp.asarray(y),
+                                    fh, fw, v, 128, True)
+        return jnp.sum(out * out)
+
+    def loss_plain(f):
+        out = bilinear_gather(f, jnp.asarray(x), jnp.asarray(y), fh, fw,
+                              tile=128)
+        out = jnp.maximum(out.reshape(b, v, n, c).transpose(0, 2, 1, 3),
+                          0.0).reshape(b, n, v * c)
+        return jnp.sum(out * out)
+
+    g_fused = np.asarray(jax.grad(loss_fused)(jnp.asarray(feats)))
+    g_plain = np.asarray(jax.grad(loss_plain)(jnp.asarray(feats)))
+    np.testing.assert_allclose(g_fused, g_plain, atol=1e-4)
+
+
+def test_unproject_fused_matches_plain(rng):
+    """unproject_features_pallas_fused == relu(concat-on-channels(plain))
+    at the wrapper level (geometry included)."""
+    from mulit_view_object_detection_tpu.kernels.unproject_pallas import (
+        unproject_features_pallas_fused)
+
+    cfg = VoxCfg()
+    b, v, fh, fw, c = 1, 2, 8, 8, 4
+    feats = (rng.rand(b, v, fh, fw, c) - 0.5).astype(np.float32)
+    Rcam = identity_pose(b, v)
+    Rcam[:, 1, 0, 3] = 0.3                         # second view offset
+    Kmat = simple_K()[None]
+    grid_pts = voxel_grid_points(cfg)
+    gs = (cfg.nvox, cfg.nvox, cfg.nvox_z)
+
+    plain = np.asarray(unproject_features(
+        jnp.asarray(feats), jnp.asarray(Rcam), jnp.asarray(Kmat),
+        (64, 64), jnp.asarray(grid_pts), gs))      # [B,V,X,Y,Z,C]
+    expect = np.maximum(
+        plain.transpose(0, 2, 3, 4, 1, 5).reshape(
+            b, gs[0], gs[1], gs[2], v * c), 0.0)
+
+    fused = np.asarray(unproject_features_pallas_fused(
+        jnp.asarray(feats), jnp.asarray(Rcam), jnp.asarray(Kmat),
+        (64, 64), jnp.asarray(grid_pts), gs, relu=True))
+    np.testing.assert_allclose(fused, expect, atol=1e-5)

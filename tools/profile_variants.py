@@ -44,6 +44,7 @@ class Base(Config):
     vmin_z, vmax_z = 1.0, 10.0
     samples = 20
     COMPUTE_DTYPE = "bfloat16"
+    FOLD_BN = os.environ.get("BENCH_FOLD_BN", "1") == "1"
 
 
 def variant_config(name, batch=1):
@@ -86,6 +87,12 @@ def time_variant(name, batch=1):
             "dropout": jax.random.PRNGKey(2)}
     variables = jax.jit(
         lambda r, b: model.init(r, b, training=False))(rngs, batch)
+    if getattr(cfg, "FOLD_BN", False):
+        from mulit_view_object_detection_tpu.utils.bn_fold import (
+            fold_bn_variables)
+        variables, _ = fold_bn_variables(
+            jax.tree_util.tree_map(np.asarray, variables))
+        variables = jax.device_put(variables)
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def infer_loop(variables, batch, iters):
