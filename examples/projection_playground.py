@@ -31,10 +31,23 @@ class GeoCfg(Config):
 
 
 def main():
+    import argparse
+
     import jax.numpy as jnp
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+
+    from mulit_view_object_detection_tpu.ops.projection import (
+        camera_anchored_grid_points, pose_inverse)
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--camera-anchored", action="store_true",
+                    help="center the voxel lattice GRID_DIST meters in "
+                         "front of the main camera (the reference's "
+                         "Notebook/projection.py:86-97 sandbox variant) "
+                         "instead of the fixed main-view-frame lattice")
+    args = ap.parse_args()
 
     cfg = GeoCfg()
     rng = np.random.RandomState(0)
@@ -45,7 +58,16 @@ def main():
     Rcam = scene.poses[None].astype(np.float32)
     K = scene.K[None].astype(np.float32)
 
-    pts = voxel_grid_points(cfg)
+    if args.camera_anchored:
+        # world-frame anchored lattice -> main-camera frame (the
+        # projection pipeline expects main-view-frame points)
+        pts_w = camera_anchored_grid_points(cfg, Rcam)         # [1, 4, N]
+        w2c0 = np.asarray(pose_inverse(jnp.asarray(Rcam[:, 0])))
+        cam = np.einsum("bij,bjn->bin", w2c0, pts_w)[0]        # [3, N]
+        pts = np.concatenate([cam, np.ones((1, cam.shape[-1]))],
+                             axis=0).astype(np.float32)
+    else:
+        pts = voxel_grid_points(cfg)
     vox = unproject_features(jnp.asarray(feats), jnp.asarray(Rcam),
                              jnp.asarray(K), (64, 64), jnp.asarray(pts),
                              (cfg.nvox, cfg.nvox, cfg.nvox_z))

@@ -146,3 +146,74 @@ def test_view_sharded_reprojection_collapse_exact(rng):
     K_s = jax.device_put(K, NamedSharding(mesh, P()))
     got = np.asarray(jax.jit(full)(feats_s, Rcam_s, K_s))
     np.testing.assert_allclose(got, expect, rtol=1e-5, atol=2e-5)
+
+
+def test_full_train_step_view_sharded_exact():
+    """The FULL tiny train step on a (1 data x 2 view) mesh must match
+    single-device numerics — losses AND the parameter-update pytree — and
+    its compiled HLO must contain collectives (GSPMD de-sharding
+    regressions surface at the graph level)."""
+    import __graft_entry__ as g
+    from mulit_view_object_detection_tpu.models.detector import (
+        MaskRCNN, make_dummy_batch)
+    from mulit_view_object_detection_tpu.train.step import (
+        create_train_state, make_train_step)
+
+    cfg = g._flagship_config(image_size=64, tiny=True)
+    cfg.GPU_COUNT = 1
+    cfg.BATCH_SIZE = 1
+    model = MaskRCNN(cfg)
+    batch = make_dummy_batch(cfg, training=True, batch_size=1,
+                             num_views=2, image_size=64)
+    rng = np.random.RandomState(7)
+    batch["images"] = rng.randn(*batch["images"].shape).astype(
+        np.float32) * 30.0
+    batch["gt_class_ids"][:, 0] = 1
+    batch["gt_boxes"][:, 0] = [0.2, 0.2, 0.7, 0.7]
+    batch["gt_masks"][:, 0] = 1.0
+    batch["rpn_match"] = np.zeros((1, batch["anchors"].shape[0]), np.int32)
+    batch["rpn_match"][:, :8] = 1
+    batch["rpn_match"][:, 8:64] = -1
+    batch["rpn_bbox"] = np.zeros(
+        (1, cfg.RPN_TRAIN_ANCHORS_PER_IMAGE, 4), np.float32)
+
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
+    train_step = make_train_step(cfg, stage="all", donate=False)
+    key = jax.random.PRNGKey(3)
+
+    ref_state, ref_metrics = train_step(state, batch, key)
+    ref_metrics = {k: float(v) for k, v in ref_metrics.items()}
+
+    mesh = make_mesh(data=1, view=2)
+    state_s = replicate_state(state, mesh)
+    shardings = batch_sharding(mesh, view_sharding=True)
+    batch_s = shard_batch(batch, shardings)
+    new_state, metrics = train_step(state_s, batch_s, key)
+    metrics = {k: float(v) for k, v in metrics.items()}
+
+    for k, v in ref_metrics.items():
+        assert abs(v - metrics[k]) <= 1e-4 * max(1.0, abs(v)), (
+            f"metric {k}: sharded {metrics[k]} vs single {v}")
+
+    # parameter updates agree leaf-by-leaf (relative norm)
+    ref_leaves = jax.tree_util.tree_flatten_with_path(ref_state.params)[0]
+    got_leaves = jax.tree_util.tree_leaves(new_state.params)
+    old_leaves = jax.tree_util.tree_leaves(state.params)
+    for (path, ref), got, old in zip(ref_leaves, got_leaves, old_leaves):
+        ref = np.asarray(ref, np.float64)
+        got = np.asarray(got, np.float64)
+        old = np.asarray(old, np.float64)
+        upd = np.linalg.norm(ref - old)
+        diff = np.linalg.norm(got - ref)
+        if upd > 1e-12:
+            name = "/".join(getattr(k, "key", str(k)) for k in path)
+            assert diff <= 5e-3 * upd + 1e-9, (
+                f"{name}: sharded update diverges "
+                f"(|d|={diff:.3e}, |upd|={upd:.3e})")
+
+    # graph-level: the sharded step must actually communicate
+    hlo = train_step.lower(state_s, batch_s, key).compile().as_text()
+    collectives = [op for op in ("all-gather", "all-reduce",
+                                 "reduce-scatter", "collective-permute",
+                                 "all-to-all") if op in hlo]
+    assert collectives, "no collectives in sharded train step HLO"

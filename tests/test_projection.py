@@ -176,3 +176,24 @@ def test_unproject_rays_identity(rng):
     expect = np.array([(1.5 - 2.0) / 4.0, (1.5 - 2.0) / 4.0, 1.0]) * 2.0
     np.testing.assert_allclose(positions[0, n], expect, atol=1e-5)
     np.testing.assert_allclose(tokens[0, n], feats[0, 0, 1, 1], atol=1e-6)
+
+
+def test_camera_anchored_grid_points():
+    """Camera-anchored lattice (Notebook/projection.py:86-97): centered at
+    R0 . [0, 0, GRID_DIST, 1] in world frame, symmetric vsize spacing."""
+    from mulit_view_object_detection_tpu.ops.projection import (
+        camera_anchored_grid_points)
+
+    cfg = VoxCfg()
+    cfg.GRID_DIST = 4.0
+    Rcam = identity_pose(1, 2)
+    Rcam[0, 0, 1, 3] = 0.5      # main camera translated +y in world
+    pts = camera_anchored_grid_points(cfg, Rcam)
+    assert pts.shape == (1, 4, cfg.nvox * cfg.nvox * cfg.nvox_z)
+    center = pts[0, :3].mean(axis=1)
+    np.testing.assert_allclose(center, [0.0, 0.5, 4.0], atol=1e-5)
+    # spacing along z (fastest axis)
+    vsize_z = (cfg.vmax_z - cfg.vmin_z) / cfg.nvox_z
+    np.testing.assert_allclose(pts[0, 2, 1] - pts[0, 2, 0], vsize_z,
+                               atol=1e-6)
+    np.testing.assert_allclose(pts[0, 3], 1.0)

@@ -103,6 +103,21 @@ def main(argv=None):
     parser.add_argument("--out", default=None, help="write JSON here")
     parser.add_argument("--smoke", action="store_true",
                         help="CPU smoke: no AP threshold enforced")
+    parser.add_argument("--diagnostics", action="store_true",
+                        help="record per-loss curves + box-vs-mask AP + "
+                             "RPN proposal recall (plateau root-causing)")
+    parser.add_argument("--lr", type=float, default=0.0,
+                        help="override LEARNING_RATE")
+    parser.add_argument("--warmup", type=int, default=0,
+                        help="linear LR warmup steps")
+    parser.add_argument("--zero-pg", default=None,
+                        help="comma list overriding ZERO_PG_LEVELS, "
+                             "e.g. '0,1' for the faithful memory cap")
+    parser.add_argument("--keep-main-levels", default=None,
+                        choices=["0", "1"],
+                        help="override XFORMER_KEEP_MAIN_LEVELS")
+    parser.add_argument("--ap-thresh", type=float, default=0.5,
+                        help="pass/fail AP threshold (non-smoke)")
     args = parser.parse_args(argv)
 
     import jax
@@ -119,6 +134,13 @@ def main(argv=None):
 
     cfg = build_config(args.image_size, args.num_views, args.variant,
                        nvox_override=args.nvox or None)
+    if args.lr:
+        cfg.LEARNING_RATE = args.lr
+    if args.zero_pg is not None:
+        cfg.ZERO_PG_LEVELS = tuple(
+            int(x) for x in args.zero_pg.split(",") if x != "")
+    if args.keep_main_levels is not None:
+        cfg.XFORMER_KEEP_MAIN_LEVELS = args.keep_main_levels == "1"
     with_depth = bool(cfg.TRANSFORMER)
     ds = SyntheticMultiViewDataset(
         num_scenes=args.scenes, num_views=args.num_views,
@@ -170,11 +192,96 @@ def main(argv=None):
             aps.append(ap)
         return float(np.mean(aps)) if aps else 0.0
 
+    def diagnose(state):
+        """Plateau diagnostics: box AP vs mask AP (is the projective
+        bottleneck blurring masks, or are detections missing?) and RPN
+        proposal recall (is the detector even seeing the objects?)."""
+        from mulit_view_object_detection_tpu.data.generator import (
+            load_image_gt)
+        from mulit_view_object_detection_tpu.eval.metrics import (
+            compute_ap, compute_recall)
+        from mulit_view_object_detection_tpu.ops.boxes import (
+            denorm_boxes_np)
+
+        engine._state = engine._state.replace(
+            params=state.params, batch_stats=state.batch_stats)
+        mask_aps, box_aps, recalls, ndet = [], [], [], []
+        h = eval_cfg.IMAGE_SHAPE[0]
+
+        def boxes_to_masks(boxes, hw):
+            m = np.zeros((hw, hw, boxes.shape[0]), np.float32)
+            for i, (y1, x1, y2, x2) in enumerate(
+                    boxes.astype(np.int32)):
+                m[max(y1, 0):max(y2, 0), max(x1, 0):max(x2, 0), i] = 1.0
+            return m
+
+        from mulit_view_object_detection_tpu.data.molding import (
+            resize_image)
+
+        for key in list(ds.view_map.keys()):
+            view_ids = ds.load_view(5, key, rnd_state=0)
+            if view_ids is None:
+                continue
+            view_ids = view_ids[:args.num_views]
+            image, _, gt_class_id, gt_bbox, gt_mask = load_image_gt(
+                ds, eval_cfg, view_ids[0], use_mini_mask=False)
+            views, Rcam = [], np.zeros((1, args.num_views, 3, 4),
+                                       np.float32)
+            for i, vid in enumerate(view_ids):
+                im = ds.load_image(vid)
+                im, *_ = resize_image(
+                    im, min_dim=eval_cfg.IMAGE_MIN_DIM,
+                    min_scale=eval_cfg.IMAGE_MIN_SCALE,
+                    max_dim=eval_cfg.IMAGE_MAX_DIM,
+                    mode=eval_cfg.IMAGE_RESIZE_MODE)
+                views.append(im)
+                Rcam[0, i] = ds.load_R(vid)
+            views = np.stack(views)
+            Kmat = ds.K[None].astype(np.float32)
+            r = engine.detect([views], Rcam=Rcam, Kmat=Kmat)[0]
+            ndet.append(int(r["class_ids"].shape[0]))
+            if r["masks"].shape[-1] == 0 or gt_mask.shape[-1] == 0:
+                mask_aps.append(0.0)
+                box_aps.append(0.0)
+            else:
+                m_ap, *_ = compute_ap(
+                    gt_bbox.astype(np.float32), gt_class_id, gt_mask,
+                    r["rois"].astype(np.float32), r["class_ids"],
+                    r["scores"], r["masks"], iou_threshold=0.5)
+                b_ap, *_ = compute_ap(
+                    gt_bbox.astype(np.float32), gt_class_id,
+                    boxes_to_masks(gt_bbox, h),
+                    r["rois"].astype(np.float32), r["class_ids"],
+                    r["scores"], boxes_to_masks(r["rois"], h),
+                    iou_threshold=0.5)
+                mask_aps.append(m_ap)
+                box_aps.append(b_ap)
+            # proposal-stage recall through run_graph
+            g = engine.run_graph([views], outputs=["proposals"],
+                                 Rcam=Rcam, Kmat=Kmat)
+            props = denorm_boxes_np(np.asarray(g["proposals"])[0], (h, h))
+            recalls.append(
+                compute_recall(props, gt_bbox.astype(np.float32), 0.5)[0])
+        return {
+            "mask_ap50": round(float(np.mean(mask_aps)), 4),
+            "box_ap50": round(float(np.mean(box_aps)), 4),
+            "proposal_recall50": round(float(np.mean(recalls)), 4),
+            "mean_detections": round(float(np.mean(ndet)), 2),
+        }
+
     rng = jax.random.PRNGKey(args.seed + 100)
     drop_at = int(args.steps * args.lr_drop)
     t0 = time.time()
     losses = []
     history = []
+    loss_history = []
+    if args.warmup:
+        # ONE schedule-driven tx (a per-step tx swap would retrace jit)
+        import optax
+        sched = optax.linear_schedule(0.0, cfg.LEARNING_RATE, args.warmup)
+        tx = make_optimizer(sched, cfg.LEARNING_MOMENTUM,
+                            cfg.GRADIENT_CLIP_NORM)
+        state = state.replace(tx=tx, opt_state=tx.init(state.params))
     for step in range(args.steps):
         if step == drop_at:   # stage-style fine-tune at LR/10
             tx = make_optimizer(cfg.LEARNING_RATE / 10,
@@ -186,6 +293,11 @@ def main(argv=None):
         state, metrics = train_step(state, batch, srng)
         losses.append(float(metrics["loss"]))
         if step % 100 == 0 or step == args.steps - 1:
+            if args.diagnostics:
+                loss_history.append(
+                    {"step": step,
+                     **{k: round(float(v), 4)
+                        for k, v in metrics.items()}})
             print(f"step {step}: loss={losses[-1]:.4f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
         if args.eval_every and (step + 1) % args.eval_every == 0:
@@ -195,6 +307,10 @@ def main(argv=None):
 
     ap = evaluate(state)
     elapsed = time.time() - t0
+    diag = None
+    if args.diagnostics and not with_depth:
+        diag = diagnose(state)
+        print("diagnostics:", json.dumps(diag), flush=True)
     result = {
         "metric": "synthetic_train_to_ap50",
         "variant": args.variant,
@@ -209,13 +325,21 @@ def main(argv=None):
         "seconds": round(elapsed, 1),
         "backend": jax.default_backend(),
         "history": history,
+        "lr": cfg.LEARNING_RATE,
+        "warmup": args.warmup,
+        "zero_pg_levels": list(cfg.ZERO_PG_LEVELS),
     }
+    if diag:
+        result["diagnostics"] = diag
+    if loss_history:
+        result["loss_history"] = loss_history
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:
             json.dump(result, f, indent=1)
     if not args.smoke:
-        assert ap >= 0.5, f"mask AP@0.5 = {ap:.4f} < 0.5 target"
+        assert ap >= args.ap_thresh, (
+            f"mask AP@0.5 = {ap:.4f} < {args.ap_thresh} target")
     return result
 
 
