@@ -344,6 +344,24 @@ class MaskRCNN:
             result = {k: result[k] for k in outputs}
         return result
 
+    def ancestor(self, pattern, images=None, **kwargs):
+        """Regex search over the inference graph's named intermediate
+        outputs (the reference's `ancestor()` graph search,
+        model_multi.py:3164-3190, reformulated for a functional graph:
+        names are output-dict keys rather than TF tensor names). Returns
+        {name: array} for every key matching `pattern`. With images=None
+        only the matching NAMES are returned (no compute)."""
+        import re as _re
+
+        rx = _re.compile(pattern)
+        if images is None:
+            names = ["rpn_class_logits", "rpn_probs", "rpn_bbox",
+                     "proposals", "mrcnn_class_logits", "mrcnn_probs",
+                     "mrcnn_bbox", "detections", "mrcnn_masks"]
+            return [n for n in names if rx.search(n)]
+        result = self.run_graph(images, outputs=None, **kwargs)
+        return {k: v for k, v in result.items() if rx.search(k)}
+
     def get_imagenet_weights(self):
         """The reference downloads keras ImageNet ResNet weights
         (model.py:2644-2656). This build environment has no egress; point

@@ -118,6 +118,7 @@ class MaskRCNN(nn.Module):
                       dtype=dtype, name="rpn")
         k = len(cfg.RPN_ANCHOR_RATIOS)
         logits_l, probs_l, deltas_l = [], [], []
+        level_counts = []
         for li, fmap in enumerate(rpn_feature_maps):
             if li in zero_levels:
                 lh, lw = fmap.shape[1], fmap.shape[2]
@@ -132,6 +133,7 @@ class MaskRCNN(nn.Module):
             logits_l.append(lg)
             probs_l.append(pr)
             deltas_l.append(dl)
+            level_counts.append(int(lg.shape[1]))
         rpn_class_logits = jnp.concatenate(logits_l, axis=1)
         rpn_probs = jnp.concatenate(probs_l, axis=1)
         rpn_bbox = jnp.concatenate(deltas_l, axis=1)
@@ -141,6 +143,16 @@ class MaskRCNN(nn.Module):
         # ------------------------------------------------------------------
         proposal_count = (cfg.POST_NMS_ROIS_TRAINING if training
                           else cfg.POST_NMS_ROIS_INFERENCE)
+        # Zeroed levels' scores are per-level constants (folded RPN above)
+        # — tell the proposal layer so its top-k runs only over the
+        # non-constant anchors (exact, ~94% fewer at the flagship shape)
+        const_spans, off = [], 0
+        for li, n_l in enumerate(level_counts):
+            if li in zero_levels:
+                const_spans.append((off, n_l))
+            off += n_l
+        if off != batch["anchors"].shape[0]:
+            const_spans = []              # anchor layout mismatch: fall back
         proposals = generate_proposals(
             jax.lax.stop_gradient(rpn_probs),
             jax.lax.stop_gradient(rpn_bbox),
@@ -148,7 +160,8 @@ class MaskRCNN(nn.Module):
             proposal_count=proposal_count,
             nms_threshold=cfg.RPN_NMS_THRESHOLD,
             pre_nms_limit=cfg.PRE_NMS_LIMIT,
-            bbox_std_dev=np.asarray(cfg.RPN_BBOX_STD_DEV))
+            bbox_std_dev=np.asarray(cfg.RPN_BBOX_STD_DEV),
+            const_spans=tuple(const_spans))
 
         classifier = ClassifierHead(
             cfg.NUM_CLASSES, cfg.POOL_SIZE, cfg.FPN_CLASSIF_FC_LAYERS_SIZE,

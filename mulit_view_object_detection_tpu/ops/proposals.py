@@ -12,24 +12,78 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from .boxes import apply_box_deltas, clip_boxes
 from .nms import nms
 
 
+def _stable_topk_with_const_spans(scores_i, k, const_spans, a_total):
+    """Exact top-k of [A] scores where the anchors in `const_spans`
+    (static (start, size) tuples) all carry one per-span constant score.
+
+    The zeroed pyramid levels' RPN outputs are spatially constant (the
+    detector constant-folds their conv stacks), and at the flagship
+    config they are ~94% of all anchors — so the expensive top-k runs
+    only over the non-constant remainder, and each constant span joins a
+    small merge pool as its first min(k, size) indices (higher indices of
+    an equal-score run can never be selected before lower ones). The
+    pool is then sorted by (score desc, index asc) — bit-identical
+    selection and ordering to lax.top_k over the full array, whose tie
+    rule is lowest-index-first."""
+    spans = sorted(const_spans)
+    real_spans, pos = [], 0
+    for s, z in spans:
+        if s > pos:
+            real_spans.append((pos, s - pos))
+        pos = s + z
+    if pos < a_total:
+        real_spans.append((pos, a_total - pos))
+
+    pool_v, pool_i = [], []
+    if real_spans:
+        reals = jnp.concatenate(
+            [scores_i[s:s + z] for s, z in real_spans])
+        real_idx = jnp.asarray(np.concatenate(
+            [np.arange(s, s + z) for s, z in real_spans]), jnp.int32)
+        kr = min(k, int(reals.shape[0]))
+        vals_r, ir = jax.lax.top_k(reals, kr)
+        pool_v.append(vals_r)
+        pool_i.append(real_idx[ir])
+    for s, z in spans:
+        m = min(k, z)
+        pool_v.append(jnp.full((m,), scores_i[s], scores_i.dtype))
+        pool_i.append(jnp.arange(s, s + m, dtype=jnp.int32))
+    vals = jnp.concatenate(pool_v)
+    idx = jnp.concatenate(pool_i)
+    neg, sidx = jax.lax.sort((-vals, idx), num_keys=2)
+    return -neg[:k], sidx[:k]
+
+
 def generate_proposals(rpn_probs, rpn_deltas, anchors, *, proposal_count,
-                       nms_threshold, pre_nms_limit, bbox_std_dev):
+                       nms_threshold, pre_nms_limit, bbox_std_dev,
+                       const_spans=()):
     """rpn_probs: [B, A, 2], rpn_deltas: [B, A, 4], anchors: [A, 4] normalized.
 
     Returns proposals [B, proposal_count, 4] in normalized coords,
     zero-padded (reference pads with zeros, model.py:323-326).
-    """
+
+    const_spans: static ((start, size), ...) anchor ranges whose scores
+    are a per-span constant (zeroed pyramid levels) — enables the exact
+    split top-k (see _stable_topk_with_const_spans)."""
     anchors = jnp.asarray(anchors)
     scores = rpn_probs[:, :, 1]
     deltas = rpn_deltas * jnp.asarray(bbox_std_dev, jnp.float32)
     k = min(pre_nms_limit, anchors.shape[0])
+    a_total = int(anchors.shape[0])
+    const_spans = tuple(const_spans)
 
     def per_image(scores_i, deltas_i):
-        top_scores, ix = jax.lax.top_k(scores_i, k)
+        if const_spans:
+            top_scores, ix = _stable_topk_with_const_spans(
+                scores_i, k, const_spans, a_total)
+        else:
+            top_scores, ix = jax.lax.top_k(scores_i, k)
         top_deltas = deltas_i[ix]
         top_anchors = anchors[ix]
         boxes = apply_box_deltas(top_anchors, top_deltas)

@@ -104,3 +104,29 @@ def test_save_load_weights(model, tmp_path):
     leaf_b = jax.tree_util.tree_leaves(state_before.params)[0]
     leaf_a = jax.tree_util.tree_leaves(model._state.params)[0]
     np.testing.assert_allclose(np.asarray(leaf_a), np.asarray(leaf_b))
+
+
+def test_ancestor_name_search():
+    """ancestor(): regex search over graph output names (the analog of
+    model_multi.py:3164-3190's Keras graph walk)."""
+    from mulit_view_object_detection_tpu import compat
+
+    class TinyCfg(compat.Config):
+        NAME = "anc"
+        NUM_CLASSES = 3
+        IMAGE_MIN_DIM = 64
+        IMAGE_MAX_DIM = 64
+        RPN_ANCHOR_SCALES = (8, 16, 32, 64, 128)
+        PRE_NMS_LIMIT = 32
+        POST_NMS_ROIS_INFERENCE = 8
+        DETECTION_MAX_INSTANCES = 4
+        MAX_GT_INSTANCES = 4
+
+    model = compat.MaskRCNN("inference", TinyCfg(), "/tmp/anc_logs")
+    assert model.ancestor(r"^rpn_") == [
+        "rpn_class_logits", "rpn_probs", "rpn_bbox"]
+    image = (np.random.RandomState(0).rand(64, 64, 3) * 255).astype(
+        np.uint8)
+    out = model.ancestor(r"detections|proposals", images=[image])
+    assert set(out) == {"detections", "proposals"}
+    assert out["proposals"].shape[1] == 8

@@ -141,3 +141,52 @@ def test_build_rpn_targets(rng):
     assert n_pos <= 32
     assert n_pos + n_neg <= 64
     assert np.isfinite(rpn_bbox).all()
+
+
+def test_stable_topk_with_const_spans_matches_full_topk(rng):
+    """The split top-k over constant spans must match lax.top_k over the
+    full array bit-for-bit — including lowest-index-first tie handling
+    (exercised by making the constants EQUAL to some real scores)."""
+    import jax.numpy as jnp
+    from mulit_view_object_detection_tpu.ops.proposals import (
+        _stable_topk_with_const_spans)
+
+    a_total = 400
+    k = 60
+    scores = rng.rand(a_total).astype(np.float32)
+    # two constant spans, one of them tying real scores exactly
+    scores[0:150] = 0.5
+    scores[200:260] = 0.25
+    scores[300] = 0.5        # exact tie with the first span's constant
+    scores[310] = 0.25
+    const_spans = ((0, 150), (200, 60))
+
+    ref_v, ref_i = jax.lax.top_k(jnp.asarray(scores), k)
+    got_v, got_i = _stable_topk_with_const_spans(
+        jnp.asarray(scores), k, const_spans, a_total)
+    np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
+    np.testing.assert_array_equal(np.asarray(ref_v), np.asarray(got_v))
+
+
+def test_generate_proposals_const_spans_equivalent(rng):
+    """generate_proposals with const_spans == without (same NMS input
+    order, same proposals) when the spans really are constant."""
+    from mulit_view_object_detection_tpu.ops.proposals import (
+        generate_proposals)
+
+    a = 256
+    anchors = np.sort(rng.rand(a, 4).astype(np.float32), axis=1)
+    anchors = anchors[:, [0, 2, 1, 3]] * 0.9
+    probs = rng.rand(2, a, 2).astype(np.float32)
+    probs[:, :96, 1] = 0.31          # constant span (a "zeroed level")
+    deltas = (rng.randn(2, a, 4) * 0.05).astype(np.float32)
+
+    kw = dict(proposal_count=16, nms_threshold=0.7, pre_nms_limit=64,
+              bbox_std_dev=np.array([0.1, 0.1, 0.2, 0.2]))
+    ref = np.asarray(generate_proposals(
+        jnp.asarray(probs), jnp.asarray(deltas), jnp.asarray(anchors),
+        **kw))
+    got = np.asarray(generate_proposals(
+        jnp.asarray(probs), jnp.asarray(deltas), jnp.asarray(anchors),
+        const_spans=((0, 96),), **kw))
+    np.testing.assert_array_equal(ref, got)

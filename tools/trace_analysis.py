@@ -38,6 +38,12 @@ def main():
             "dropout": jax.random.PRNGKey(2)}
     variables = jax.jit(
         lambda r, b: model.init(r, b, training=False))(rngs, batch)
+    if getattr(cfg, "FOLD_BN", False):
+        from mulit_view_object_detection_tpu.utils.bn_fold import (
+            fold_bn_variables)
+        variables, _ = fold_bn_variables(
+            jax.tree_util.tree_map(np.asarray, variables))
+        variables = jax.device_put(variables)
 
     @jax.jit
     def infer(variables, batch):

@@ -32,7 +32,8 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def build_config(image_size, num_views, variant="conv3d", nvox_override=None):
+def build_config(image_size, num_views, variant="conv3d", nvox_override=None,
+                 samples_override=None, grid_reas=None):
     from mulit_view_object_detection_tpu.config import Config
 
     class TrainToAPConfig(Config):
@@ -44,7 +45,10 @@ def build_config(image_size, num_views, variant="conv3d", nvox_override=None):
         FPN_CLASSIF_FC_LAYERS_SIZE = 128
         IMAGE_MIN_DIM = image_size
         IMAGE_MAX_DIM = image_size
-        RPN_ANCHOR_SCALES = (8, 16, 32, 64, 128)
+        # anchors scale with the input (the flagship 640^2 protocol uses
+        # the reference's 16..256 ladder, interior_multi.py:381)
+        RPN_ANCHOR_SCALES = ((8, 16, 32, 64, 128) if image_size <= 128
+                             else (16, 32, 64, 128, 256))
         PRE_NMS_LIMIT = 512
         POST_NMS_ROIS_TRAINING = 64
         POST_NMS_ROIS_INFERENCE = 64
@@ -52,12 +56,12 @@ def build_config(image_size, num_views, variant="conv3d", nvox_override=None):
         DETECTION_MAX_INSTANCES = 8
         DETECTION_MIN_CONFIDENCE = 0.5
         MAX_GT_INSTANCES = 8
-        GRID_REAS = "conv3d"
+        GRID_REAS = grid_reas or "conv3d"
         nvox = nvox_override or 16
         nvox_z = nvox_override or 16
         vmin, vmax = -2.0, 2.0
         vmin_z, vmax_z = 1.0, 7.0
-        samples = 8
+        samples = samples_override or 8
         LEARNING_RATE = 0.002
         TRAIN_BN = True          # from-scratch training (see module doc)
         ZERO_PG_LEVELS = ()      # small-scale ROIs live on P2/P3
@@ -118,6 +122,13 @@ def main(argv=None):
                         help="override XFORMER_KEEP_MAIN_LEVELS")
     parser.add_argument("--ap-thresh", type=float, default=0.5,
                         help="pass/fail AP threshold (non-smoke)")
+    parser.add_argument("--samples", type=int, default=0,
+                        help="override ray depth samples")
+    parser.add_argument("--grid-reas", default=None,
+                        choices=["add", "mean", "ident", "conv3d",
+                                 "lstm3d"],
+                        help="override GRID_REAS for the conv3d-family "
+                             "variant (fusion-architecture ablations)")
     args = parser.parse_args(argv)
 
     import jax
@@ -133,7 +144,9 @@ def main(argv=None):
         create_train_state, make_train_step)
 
     cfg = build_config(args.image_size, args.num_views, args.variant,
-                       nvox_override=args.nvox or None)
+                       nvox_override=args.nvox or None,
+                       samples_override=args.samples or None,
+                       grid_reas=args.grid_reas)
     if args.lr:
         cfg.LEARNING_RATE = args.lr
     if args.zero_pg is not None:
@@ -314,6 +327,8 @@ def main(argv=None):
     result = {
         "metric": "synthetic_train_to_ap50",
         "variant": args.variant,
+        "grid_reas": cfg.GRID_REAS,
+        "samples": cfg.samples,
         "nvox": cfg.nvox,
         "ap50": round(ap, 4),
         "steps": args.steps,
