@@ -75,7 +75,12 @@ class MaskRCNN(nn.Module):
         dtype = self._dtype()
         images = batch["images"]
         b, v, h, w, _ = images.shape
-        train_bn = bool(cfg.TRAIN_BN) and training
+        # BN_EVAL_BATCH_STATS: diagnostic knob — keep BN in batch-stats
+        # mode even on the inference graph, to isolate train/eval skew
+        # caused by running-average drift (batch-size-1 training computes
+        # per-scene statistics the heads adapt to; see BENCH_NOTES.md).
+        train_bn = bool(cfg.TRAIN_BN) and (
+            training or bool(getattr(cfg, "BN_EVAL_BATCH_STATS", False)))
         # FOLD_BN: serving mode — frozen BNs become pre-folded affines
         # (see utils/bn_fold.py); inference-only, exact same param tree.
         fold_bn = bool(getattr(cfg, "FOLD_BN", False)) and not training
@@ -319,13 +324,15 @@ class MaskRCNN(nn.Module):
             Collapse = nn.remat(DepthCollapse) if remat else DepthCollapse
             fold_bn = (bool(getattr(cfg, "FOLD_BN", False))
                        and not training)
+            train_bn = bool(cfg.TRAIN_BN) and (
+                training or bool(getattr(cfg, "BN_EVAL_BATCH_STATS", False)))
             fusion = Fusion(cfg.GRID_REAS, cfg.TOP_DOWN_PYRAMID_SIZE, v,
-                            bool(cfg.TRAIN_BN) and training, dtype,
+                            train_bn, dtype,
                             fold_bn, inputs_fused=fuse_layout,
                             name=f"grid_fusion_p{li + 2}")
             collapse = Collapse(
                 cfg.GRID_REAS, cfg.TOP_DOWN_PYRAMID_SIZE, cfg.samples,
-                bool(cfg.TRAIN_BN) and training, dtype,
+                train_bn, dtype,
                 fold_bn, name=f"depth_collapse_p{li + 2}")
             if fuse_layout:
                 vox = unproject_features_pallas_fused(

@@ -140,12 +140,22 @@ def make_val_step(config):
 
 
 def make_eval_step(config):
-    """Returns jitted infer_step(state, batch) -> outputs dict."""
+    """Returns jitted infer_step(state, batch) -> outputs dict.
+
+    With config.BN_EVAL_BATCH_STATS (diagnostic), BatchNorm layers compute
+    batch statistics on the inference graph too; the mutated running stats
+    are discarded so evaluation never perturbs the training state.
+    """
+    bn_batch = bool(getattr(config, "BN_EVAL_BATCH_STATS", False))
 
     def infer_step(state, batch):
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
+        if bn_batch and state.batch_stats:
+            outputs, _ = state.apply_fn(variables, batch, training=False,
+                                        mutable=["batch_stats"])
+            return outputs
         return state.apply_fn(variables, batch, training=False)
 
     return jax.jit(infer_step)

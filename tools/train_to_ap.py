@@ -129,6 +129,17 @@ def main(argv=None):
                                  "lstm3d"],
                         help="override GRID_REAS for the conv3d-family "
                              "variant (fusion-architecture ablations)")
+    parser.add_argument("--min-conf", type=float, default=0.5,
+                        help="DETECTION_MIN_CONFIDENCE at eval")
+    parser.add_argument("--batch", type=int, default=0,
+                        help="override IMAGES_PER_GPU (training batch "
+                             "size); batch>1 trains BN on cross-scene "
+                             "statistics, closing the small-batch "
+                             "running-average eval skew")
+    parser.add_argument("--bn-eval-batch-stats", action="store_true",
+                        help="diagnostic: evaluate with BatchNorm in "
+                             "batch-statistics mode (isolates running-"
+                             "average train/eval skew)")
     args = parser.parse_args(argv)
 
     import jax
@@ -149,6 +160,11 @@ def main(argv=None):
                        grid_reas=args.grid_reas)
     if args.lr:
         cfg.LEARNING_RATE = args.lr
+    if args.batch:
+        # instance-level override: EvalConfig below re-instantiates from
+        # the class, so inference keeps its batch-1 geometry
+        cfg.IMAGES_PER_GPU = args.batch
+        cfg.BATCH_SIZE = args.batch * cfg.GPU_COUNT
     if args.zero_pg is not None:
         cfg.ZERO_PG_LEVELS = tuple(
             int(x) for x in args.zero_pg.split(",") if x != "")
@@ -168,7 +184,8 @@ def main(argv=None):
 
     # inference engine sharing the training parameters
     class EvalConfig(type(cfg)):
-        DETECTION_MIN_CONFIDENCE = 0.5
+        DETECTION_MIN_CONFIDENCE = args.min_conf
+        BN_EVAL_BATCH_STATS = args.bn_eval_batch_stats
     eval_cfg = EvalConfig()
     engine = MaskRCNN("inference", eval_cfg, "/tmp/train_to_ap_logs")
     engine._ensure_state()
@@ -219,6 +236,7 @@ def main(argv=None):
         engine._state = engine._state.replace(
             params=state.params, batch_stats=state.batch_stats)
         mask_aps, box_aps, recalls, ndet = [], [], [], []
+        per_scene = []
         h = eval_cfg.IMAGE_SHAPE[0]
 
         def boxes_to_masks(boxes, hw):
@@ -275,11 +293,34 @@ def main(argv=None):
             props = denorm_boxes_np(np.asarray(g["proposals"])[0], (h, h))
             recalls.append(
                 compute_recall(props, gt_bbox.astype(np.float32), 0.5)[0])
+            # per-scene: which GT went unmatched, and why-adjacent facts
+            from mulit_view_object_detection_tpu.eval.metrics import (
+                compute_matches)
+            gm, pm, _ = compute_matches(
+                gt_bbox.astype(np.float32), gt_class_id, gt_mask,
+                r["rois"].astype(np.float32), r["class_ids"], r["scores"],
+                r["masks"], iou_threshold=0.5) \
+                if r["masks"].shape[-1] else (np.full(len(gt_class_id),
+                                                      -1.0), np.array([]),
+                                              None)
+            per_scene.append({
+                "scene": str(key),
+                "n_gt": int(len(gt_class_id)),
+                "n_det": int(r["class_ids"].shape[0]),
+                "false_pos": int((pm == -1).sum()) if pm.size else 0,
+                "missed": [
+                    {"class": int(gt_class_id[i]),
+                     "area": int(gt_mask[..., i].sum()),
+                     "box": [int(x) for x in gt_bbox[i]]}
+                    for i in range(len(gt_class_id)) if gm[i] == -1],
+                "scores": [round(float(s), 3) for s in r["scores"]],
+            })
         return {
             "mask_ap50": round(float(np.mean(mask_aps)), 4),
             "box_ap50": round(float(np.mean(box_aps)), 4),
             "proposal_recall50": round(float(np.mean(recalls)), 4),
             "mean_detections": round(float(np.mean(ndet)), 2),
+            "per_scene": per_scene,
         }
 
     rng = jax.random.PRNGKey(args.seed + 100)
