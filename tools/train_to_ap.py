@@ -136,6 +136,11 @@ def main(argv=None):
                              "size); batch>1 trains BN on cross-scene "
                              "statistics, closing the small-batch "
                              "running-average eval skew")
+    parser.add_argument("--ckpt", default=None,
+                        help="save the trained state here before eval "
+                             "(insurance against eval-path failures)")
+    parser.add_argument("--eval-only", action="store_true",
+                        help="skip training; restore --ckpt and evaluate")
     parser.add_argument("--bn-eval-batch-stats", action="store_true",
                         help="diagnostic: evaluate with BatchNorm in "
                              "batch-statistics mode (isolates running-"
@@ -182,10 +187,17 @@ def main(argv=None):
                                batch0)
     train_step = make_train_step(cfg, stage="all", donate=False)
 
-    # inference engine sharing the training parameters
+    # inference engine sharing the training parameters. EvalConfig
+    # re-instantiates from the CLASS, so any instance-level override set
+    # above (--zero-pg, --keep-main-levels) must be pinned here too —
+    # ZERO_PG_LEVELS in particular changes which grid_fusion_p* modules
+    # exist, and a train/eval mismatch is a ScopeParamNotFoundError at
+    # eval time, after the training budget is already spent.
     class EvalConfig(type(cfg)):
         DETECTION_MIN_CONFIDENCE = args.min_conf
         BN_EVAL_BATCH_STATS = args.bn_eval_batch_stats
+        ZERO_PG_LEVELS = cfg.ZERO_PG_LEVELS
+        XFORMER_KEEP_MAIN_LEVELS = cfg.XFORMER_KEEP_MAIN_LEVELS
     eval_cfg = EvalConfig()
     engine = MaskRCNN("inference", eval_cfg, "/tmp/train_to_ap_logs")
     engine._ensure_state()
@@ -336,7 +348,13 @@ def main(argv=None):
         tx = make_optimizer(sched, cfg.LEARNING_MOMENTUM,
                             cfg.GRADIENT_CLIP_NORM)
         state = state.replace(tx=tx, opt_state=tx.init(state.params))
-    for step in range(args.steps):
+    if args.eval_only:
+        from mulit_view_object_detection_tpu.train.checkpoint import (
+            restore_checkpoint)
+        state = restore_checkpoint(args.ckpt, state)
+        print(f"restored {args.ckpt} at step {int(state.step)}",
+              flush=True)
+    for step in range(0 if args.eval_only else args.steps):
         if step == drop_at:   # stage-style fine-tune at LR/10
             tx = make_optimizer(cfg.LEARNING_RATE / 10,
                                 cfg.LEARNING_MOMENTUM,
@@ -359,8 +377,15 @@ def main(argv=None):
             history.append({"step": step + 1, "ap50": ap})
             print(f"step {step + 1}: mask AP@0.5 = {ap:.4f}", flush=True)
 
-    ap = evaluate(state)
     elapsed = time.time() - t0
+    if args.ckpt and not args.eval_only:
+        # insurance: persist the trained state BEFORE eval so an
+        # eval-path failure cannot lose the training budget
+        from mulit_view_object_detection_tpu.train.checkpoint import (
+            save_checkpoint)
+        save_checkpoint(args.ckpt, state, step=args.steps)
+        print(f"checkpoint saved to {args.ckpt}", flush=True)
+    ap = evaluate(state)
     diag = None
     if args.diagnostics and not with_depth:
         diag = diagnose(state)
@@ -376,8 +401,10 @@ def main(argv=None):
         "image_size": args.image_size,
         "num_views": args.num_views,
         "scenes": args.scenes,
-        "final_loss": round(float(np.mean(losses[-20:])), 4),
-        "initial_loss": round(float(np.mean(losses[:20])), 4),
+        "final_loss": round(float(np.mean(losses[-20:])), 4)
+        if losses else None,
+        "initial_loss": round(float(np.mean(losses[:20])), 4)
+        if losses else None,
         "seconds": round(elapsed, 1),
         "backend": jax.default_backend(),
         "history": history,
