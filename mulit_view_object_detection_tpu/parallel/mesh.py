@@ -11,6 +11,16 @@ first-class and TPU-native (SURVEY.md §2.4):
     partial voxel grids; XLA inserts the psum/all-gather for the fusion
     reduction over ICI);
   * parameters replicated; XLA SPMD inserts gradient all-reduce;
+  * an optional third `model` axis for tensor parallelism: Megatron-style
+    output-channel sharding of conv/dense kernels (shard_params /
+    shard_state_tp) — GSPMD derives the activation shardings and inserts
+    the all-gathers/reduce-scatters, so TP composes with DP and view
+    sharding on the same mesh. Exactness vs single-device is proven for
+    TP x DP (tests/test_parallel.py). Known XLA:CPU limitation: VIEW-
+    sharded activations hitting model-sharded conv kernels heap-crash
+    the CPU partitioner (jax 0.9, `free(): invalid pointer`; minimal
+    convs and TP x DP on the same kernels are fine) — so view x model
+    can only be validated on real TPU hardware;
   * multi-host: `jax.distributed.initialize` + per-host data sharding via
     the same specs.
 """
@@ -28,14 +38,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 log = logging.getLogger(__name__)
 
 
-def make_mesh(data=None, view=1, devices=None):
-    """Create a (data, view) mesh over available devices."""
+def make_mesh(data=None, view=1, model=1, devices=None):
+    """Create a (data, view[, model]) mesh over available devices. The
+    `model` axis (tensor parallelism) is only materialized when > 1 so
+    existing 2-axis callers and their compiled programs are unchanged."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data is None:
-        data = n // view
-    assert data * view <= n, f"mesh {data}x{view} > {n} devices"
-    devices = devices[:data * view]
+        data = n // (view * model)
+    assert data * view * model <= n, (
+        f"mesh {data}x{view}x{model} > {n} devices")
+    devices = devices[:data * view * model]
+    if model > 1:
+        dev_array = mesh_utils.create_device_mesh((data, view, model),
+                                                  devices=devices)
+        return Mesh(dev_array, axis_names=("data", "view", "model"))
     dev_array = mesh_utils.create_device_mesh((data, view),
                                               devices=devices)
     return Mesh(dev_array, axis_names=("data", "view"))
@@ -89,6 +106,42 @@ def make_parallel_train_step(train_step, mesh, view_sharding=False):
 def replicate_state(state, mesh):
     rep = replicated(mesh)
     return jax.device_put(state, rep)
+
+
+def param_spec(x, mesh):
+    """Tensor-parallel placement rule for one parameter leaf: shard the
+    output-channel (last) dim of conv/dense kernels over `model`
+    (Megatron-style); replicate vectors (biases, BN scales/stats) and
+    anything not divisible. Shape-based, so the identical rule applies to
+    optimizer-momentum leaves, keeping param/opt shardings congruent."""
+    if "model" not in mesh.axis_names:
+        return P()
+    m = mesh.shape["model"]
+    shape = getattr(x, "shape", ())
+    if len(shape) >= 2 and shape[-1] % m == 0 and shape[-1] >= 2 * m:
+        return P(*([None] * (len(shape) - 1) + ["model"]))
+    return P()
+
+
+def shard_params(tree, mesh):
+    """device_put a parameter(-shaped) pytree with the TP rule."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, param_spec(x, mesh))),
+        tree)
+
+
+def shard_state_tp(state, mesh):
+    """Place a TrainState for a TP(+DP/view) mesh: params and optimizer
+    state sharded by the channel rule, everything else replicated. The
+    train step itself is untouched — GSPMD propagates the kernel shardings
+    through the forward/backward and inserts the collectives."""
+    rep = replicated(mesh)
+    return state.replace(
+        params=shard_params(state.params, mesh),
+        opt_state=shard_params(state.opt_state, mesh),
+        batch_stats=jax.device_put(state.batch_stats, rep),
+        step=jax.device_put(state.step, rep),
+    )
 
 
 # Env vars that signal a multi-process launch without touching the XLA

@@ -217,3 +217,89 @@ def test_full_train_step_view_sharded_exact():
                                  "reduce-scatter", "collective-permute",
                                  "all-to-all") if op in hlo]
     assert collectives, "no collectives in sharded train step HLO"
+
+
+def test_tensor_parallel_train_step_exact():
+    """Channel-sharded (TP) training on a (2 data x 1 view x 2 model) mesh
+    must match single-device numerics. Parameters/momentum are placed by
+    the Megatron-style output-channel rule (parallel.mesh.param_spec);
+    GSPMD propagates the shardings through forward/backward, so this also
+    proves TP composes with data parallelism in one compiled program.
+
+    Mesh note: view sharding combined with model-sharded conv kernels is
+    NOT exercised here — XLA:CPU's partitioner heap-crashes compiling
+    that combination (free(): invalid pointer, jax 0.9 / 8 virtual CPU
+    devices; reproduced standalone — batch-dim sharding via `data` with
+    the same kernels compiles and matches, so the rule itself is sound).
+    The TPU partitioner is the production path for view x model."""
+    import __graft_entry__ as g
+    from mulit_view_object_detection_tpu.models.detector import (
+        MaskRCNN, make_dummy_batch)
+    from mulit_view_object_detection_tpu.parallel.mesh import (
+        shard_state_tp)
+    from mulit_view_object_detection_tpu.train.step import (
+        create_train_state, make_train_step)
+
+    cfg = g._flagship_config(image_size=64, tiny=True)
+    cfg.GPU_COUNT = 1
+    cfg.IMAGES_PER_GPU = 2
+    cfg.BATCH_SIZE = 2
+    model = MaskRCNN(cfg)
+    batch = make_dummy_batch(cfg, training=True, batch_size=2,
+                             num_views=2, image_size=64)
+    rng = np.random.RandomState(11)
+    batch["images"] = rng.randn(*batch["images"].shape).astype(
+        np.float32) * 30.0
+    batch["gt_class_ids"][:, 0] = 1
+    batch["gt_boxes"][:, 0] = [0.2, 0.2, 0.7, 0.7]
+    batch["gt_masks"][:, 0] = 1.0
+    batch["rpn_match"] = np.zeros((2, batch["anchors"].shape[0]), np.int32)
+    batch["rpn_match"][:, :8] = 1
+    batch["rpn_match"][:, 8:64] = -1
+    batch["rpn_bbox"] = np.zeros(
+        (2, cfg.RPN_TRAIN_ANCHORS_PER_IMAGE, 4), np.float32)
+
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
+    train_step = make_train_step(cfg, stage="all", donate=False)
+    key = jax.random.PRNGKey(5)
+
+    ref_state, ref_metrics = train_step(state, batch, key)
+    ref_metrics = {k: float(v) for k, v in ref_metrics.items()}
+
+    mesh = make_mesh(data=2, view=1, model=2)
+    assert mesh.shape == {"data": 2, "view": 1, "model": 2}
+    state_s = shard_state_tp(state, mesh)
+    # the rule must actually engage: conv kernels carry 'model' on the
+    # output-channel dim, vectors stay replicated
+    specs = [x.sharding.spec for x in jax.tree_util.tree_leaves(
+        state_s.params) if hasattr(x, "sharding")]
+    n_tp = sum(1 for s in specs if s and s[-1] == "model")
+    assert n_tp >= 10, f"TP rule engaged on only {n_tp} kernels"
+    shardings = batch_sharding(mesh, view_sharding=False)
+    batch_s = shard_batch(batch, shardings)
+    new_state, metrics = train_step(state_s, batch_s, key)
+    metrics = {k: float(v) for k, v in metrics.items()}
+
+    for k, v in ref_metrics.items():
+        assert abs(v - metrics[k]) <= 1e-4 * max(1.0, abs(v)), (
+            f"metric {k}: TP-sharded {metrics[k]} vs single {v}")
+
+    # updates agree leaf-by-leaf AND updated kernels remain model-sharded
+    ref_leaves = jax.tree_util.tree_flatten_with_path(ref_state.params)[0]
+    got_leaves = jax.tree_util.tree_leaves(new_state.params)
+    old_leaves = jax.tree_util.tree_leaves(state.params)
+    for (path, ref), got, old in zip(ref_leaves, got_leaves, old_leaves):
+        ref = np.asarray(ref, np.float64)
+        got_a = np.asarray(got, np.float64)
+        old = np.asarray(old, np.float64)
+        upd = np.linalg.norm(ref - old)
+        diff = np.linalg.norm(got_a - ref)
+        if upd > 1e-12:
+            name = "/".join(getattr(k, "key", str(k)) for k in path)
+            assert diff <= 5e-3 * upd + 1e-9, (
+                f"{name}: TP update diverges "
+                f"(|d|={diff:.3e}, |upd|={upd:.3e})")
+    out_specs = [x.sharding.spec for x in got_leaves
+                 if hasattr(x, "sharding")]
+    assert sum(1 for s in out_specs if s and s[-1] == "model") >= n_tp, (
+        "updated params lost their model sharding")
