@@ -60,6 +60,10 @@ def main():
         # serving mode: frozen BNs pre-folded into conv weights
         # (utils/bn_fold.py; exactness covered by tests/test_bn_fold.py)
         FOLD_BN = os.environ.get("BENCH_FOLD_BN", "1") == "1"
+        # grouped cross-level fusion U-Net (models/fusion.py::
+        # GroupedGridFusion); init creates the grouped weights directly
+        CROSS_LEVEL_FUSION = os.environ.get("BENCH_CROSS_LEVEL",
+                                            "0") == "1"
 
     BenchConfig.IMAGES_PER_GPU = args.batch
     cfg = BenchConfig()

@@ -63,13 +63,27 @@ class MaskRCNN:
 
     def _maybe_fold(self, state):
         """FOLD_BN serving mode: bake frozen-BN affines into conv weights
-        once per state (utils/bn_fold.py); cached until the state changes."""
-        if not getattr(self.config, "FOLD_BN", False):
+        once per state (utils/bn_fold.py); cached until the state changes.
+        With CROSS_LEVEL_FUSION also builds the grouped cross-level
+        fusion weights from the folded per-level ones."""
+        cfg = self.config
+        cross = (bool(getattr(cfg, "CROSS_LEVEL_FUSION", False))
+                 and not cfg.VANILLA and not getattr(cfg, "TRANSFORMER",
+                                                     False)
+                 and cfg.NUM_VIEWS > 1
+                 and cfg.GRID_REAS in ("conv3d", "ident"))
+        if not getattr(cfg, "FOLD_BN", False) and not cross:
             return state
         if self._fold_src is not state:
-            from ..utils.bn_fold import fold_bn_variables
+            from ..utils.bn_fold import (fold_bn_variables,
+                                         group_fusion_variables)
             folded, _ = fold_bn_variables(
                 {"params": state.params, "batch_stats": state.batch_stats})
+            if cross:
+                zero = set(getattr(cfg, "ZERO_PG_LEVELS", (0, 1)))
+                active = [li for li in range(5) if li not in zero]
+                folded = group_fusion_variables(folded, active,
+                                                mode=cfg.GRID_REAS)
             self._fold_cache = state.replace(
                 params=folded["params"], batch_stats=folded["batch_stats"])
             self._fold_src = state

@@ -104,6 +104,17 @@ class Config:
     # the fold only applies to training=False applies.
     FOLD_BN = False
 
+    # Serving-time cross-level fusion: run the per-level conv3d/ident
+    # GridFusions of all active pyramid levels as ONE set of grouped convs
+    # (feature_group_count = #levels) over the channel-concatenated voxel
+    # grids — the levels share the [nvox, nvox, nvox_z] grid shape, so the
+    # per-level U-Net dispatches collapse into single larger ops
+    # (models/fusion.py::GroupedGridFusion). Inference-only; requires
+    # BN-folded weights (utils/bn_fold.py::group_fusion_variables builds
+    # the grouped tree from the trained per-level weights). Training and
+    # checkpoints always use the per-level form.
+    CROSS_LEVEL_FUSION = False
+
     # ------------------------------------------------------------------
     # Multi-view keys — first-class here, ad hoc in the reference
     # (interior_multi.py:379-393, interior_transformer.py:386-407).

@@ -306,6 +306,16 @@ class MaskRCNN(nn.Module):
         # conv3d/ident consume relu(concat-on-channels(views)): the fused
         # kernel emits that layout directly with the relu in its epilogue
         fuse_layout = use_pallas and cfg.GRID_REAS in ("conv3d", "ident")
+
+        train_bn_now = bool(cfg.TRAIN_BN) and (
+            training or bool(getattr(cfg, "BN_EVAL_BATCH_STATS", False)))
+        cross_level = (bool(getattr(cfg, "CROSS_LEVEL_FUSION", False))
+                       and not training and not train_bn_now
+                       and cfg.GRID_REAS in ("conv3d", "ident"))
+        if cross_level:
+            return self._fuse_views_cross_level(
+                batch, levels, image_shape, zero_levels, grid_pts,
+                grid_shape, method, use_pallas, fuse_layout, v, dtype)
         out, zeros = [], set()
         for li, p in enumerate(levels):
             if li in zero_levels:                 # PG2/PG3 memory cap
@@ -353,6 +363,62 @@ class MaskRCNN(nn.Module):
                                     cfg.samples, cfg, method=method)
             out.append(collapse(rays.astype(dtype)))
         return out, zeros
+
+    def _fuse_views_cross_level(self, batch, levels, image_shape,
+                                zero_levels, grid_pts, grid_shape, method,
+                                use_pallas, fuse_layout, v, dtype):
+        """CROSS_LEVEL_FUSION serving path: one grouped U-Net over the
+        channel-concatenated voxel grids of all active levels instead of
+        L per-level U-Nets (Config.CROSS_LEVEL_FUSION; weights built by
+        utils.bn_fold.group_fusion_variables). Reprojection and depth
+        collapse stay per level — their spatial shapes differ."""
+        from .fusion import DepthCollapse, GroupedGridFusion
+        cfg = self.config
+        if use_pallas:
+            from ..kernels.reproject_pallas import project_grid_pallas
+            from ..kernels.unproject_pallas import (
+                unproject_features_pallas, unproject_features_pallas_fused)
+        active = [li for li in range(len(levels)) if li not in zero_levels]
+        voxes = []
+        for li in active:
+            p = levels[li]
+            if fuse_layout:
+                vox = unproject_features_pallas_fused(
+                    p, batch["Rcam"], batch["Kmat"], image_shape,
+                    grid_pts, grid_shape, relu=True)
+            else:
+                unproject_fn = (unproject_features_pallas if use_pallas
+                                else unproject_features)
+                vox = unproject_fn(p, batch["Rcam"], batch["Kmat"],
+                                   image_shape, grid_pts, grid_shape)
+                b_, v_, nx, ny, nz, c_ = vox.shape
+                vox = nn.relu(vox.transpose(0, 2, 3, 4, 1, 5).reshape(
+                    b_, nx, ny, nz, v_ * c_))
+            voxes.append(vox)
+        grouped = GroupedGridFusion(
+            cfg.GRID_REAS, cfg.TOP_DOWN_PYRAMID_SIZE, len(active), v,
+            dtype, name="grid_fusion_grouped")(
+                jnp.concatenate(voxes, axis=-1))
+        fold_bn = bool(getattr(cfg, "FOLD_BN", False))
+        C = cfg.TOP_DOWN_PYRAMID_SIZE
+        out = [None] * len(levels)
+        for li in zero_levels:
+            out[li] = jnp.zeros_like(levels[li][:, 0])
+        for i, li in enumerate(active):
+            fused = grouped[..., i * C:(i + 1) * C]
+            collapse = DepthCollapse(
+                cfg.GRID_REAS, C, cfg.samples, False, dtype, fold_bn,
+                name=f"depth_collapse_p{li + 2}")
+            s = levels[li].shape[2]
+            if use_pallas and method == "nearest":
+                rays = project_grid_pallas(
+                    fused, batch["Kmat"], image_shape, s, cfg.samples, cfg)
+            else:
+                rays = project_grid(fused.astype(jnp.float32),
+                                    batch["Kmat"], image_shape, s,
+                                    cfg.samples, cfg, method=method)
+            out[li] = collapse(rays.astype(dtype))
+        return out, set(zero_levels)
 
 
 def make_dummy_batch(config, training=False, batch_size=None, num_views=None,

@@ -150,6 +150,102 @@ class GridFusion(nn.Module):
         raise ValueError(f"unknown fusion mode {self.mode}")
 
 
+class _GroupedConvTranspose(nn.Module):
+    """L per-level flax ConvTranspose layers run as one grouped
+    fractionally-strided conv (lax.conv_transpose has no
+    feature_group_count, so this reproduces its SAME-padding arithmetic
+    on conv_general_dilated with lhs_dilation). Kernel layout matches
+    the channel-concat of the per-level ConvTranspose kernels:
+    [k, k, k, in_per_group, L * out_per_group]."""
+    features_per_group: int
+    groups: int
+    kernel: tuple = (3, 3, 3)
+    strides: tuple = (2, 2, 2)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_per_group = x.shape[-1] // self.groups
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*self.kernel, in_per_group,
+             self.groups * self.features_per_group))
+        bias = self.param(
+            "bias", nn.initializers.zeros,
+            (self.groups * self.features_per_group,))
+        # lax.conv_transpose's SAME padding for kernel k, stride s
+        pads = []
+        for ks, s in zip(self.kernel, self.strides):
+            pad_len = ks + s - 2
+            pad_a = ks - 1 if s > ks - 1 else -(-pad_len // 2)
+            pads.append((pad_a, pad_len - pad_a))
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NXYZC", "XYZIO", "NXYZC"))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(1, 1, 1), padding=pads,
+            lhs_dilation=self.strides, dimension_numbers=dn,
+            feature_group_count=self.groups)
+        return y + bias.astype(self.dtype)
+
+
+class GroupedGridFusion(nn.Module):
+    """Serving-time cross-level form of L per-level GridFusions
+    (Config.CROSS_LEVEL_FUSION): all active pyramid levels share the
+    voxel-grid shape, so their conv3d U-Nets (or ident 1x1 convs) run as
+    single grouped convs over the channel-concatenated grids — one
+    dispatch per layer instead of one per level per layer.
+
+    Input  [B, X, Y, Z, L * V * C]  (per-level fused layouts, already
+                                     relu'd, concatenated on channels)
+    Output [B, X, Y, Z, L * C]      (level l's fused grid in channels
+                                     l*C:(l+1)*C)
+
+    Parameters mirror the per-level layer names (down1/down2/up1/up2 or
+    ident_conv) with kernels/biases channel-concatenated in level order —
+    utils/bn_fold.py::group_fusion_variables builds them from trained
+    per-level weights. BatchNorms are assumed pre-folded into the convs
+    (the transform runs on a fold_bn_variables tree), so the module is a
+    pure conv+relu chain; exactness vs the per-level path is covered by
+    tests/test_cross_level.py."""
+    mode: str            # conv3d | ident
+    channels: int        # C = TOP_DOWN_PYRAMID_SIZE
+    num_levels: int      # L
+    num_views: int       # V
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        L, C = self.num_levels, self.channels
+        if self.mode == "ident":
+            x = nn.Conv(L * C, (1, 1, 1), feature_group_count=L,
+                        name="ident_conv", dtype=self.dtype)(x)
+            return nn.relu(x)
+        if self.mode != "conv3d":
+            raise ValueError(
+                f"GroupedGridFusion supports conv3d/ident, not {self.mode}")
+        x = nn.Conv(L * C * 2, (3, 3, 3), strides=(2, 2, 2),
+                    padding="SAME", feature_group_count=L,
+                    name="down1", dtype=self.dtype)(x)
+        conv1 = nn.relu(x)
+        x = nn.Conv(L * C * 4, (3, 3, 3), strides=(2, 2, 2),
+                    padding="SAME", feature_group_count=L,
+                    name="down2", dtype=self.dtype)(conv1)
+        conv2 = nn.relu(x)
+        x = _GroupedConvTranspose(C * 2, L, dtype=self.dtype,
+                                  name="up1")(conv2)
+        deconv1 = nn.relu(x)
+        # per-level skip concat [deconv1_l, conv1_l]: interleave so group
+        # l's input channels stay contiguous
+        b, nx, ny, nz = deconv1.shape[:4]
+        x = jnp.concatenate(
+            [deconv1.reshape(b, nx, ny, nz, L, 2 * C),
+             conv1.reshape(b, nx, ny, nz, L, 2 * C)], axis=-1)
+        x = x.reshape(b, nx, ny, nz, L * 4 * C)
+        x = _GroupedConvTranspose(C, L, dtype=self.dtype, name="up2")(x)
+        return nn.relu(x)
+
+
 class DepthCollapse(nn.Module):
     """[B, D, S, S, C] ray slices -> [B, S, S, C_out] 2D map."""
     mode: str            # 'conv3d' gets the deep collapse, others the 1x1

@@ -103,6 +103,46 @@ def _fold_one(bn_name, parent_params, bn_stats, report):
         stats["var"] = np.full_like(var, 1.0 - BN_EPS, dtype=f32)
 
 
+def group_fusion_variables(variables, level_indices, mode="conv3d"):
+    """Build the CROSS_LEVEL_FUSION parameter subtree: channel-concatenate
+    the (BN-folded) per-level GridFusion conv kernels/biases in level
+    order into `params['grid_fusion_grouped']`, matching
+    models.fusion.GroupedGridFusion's grouped-conv layout
+    (feature_group_count = len(level_indices), group l = level l).
+
+    Must run on a fold_bn_variables() tree — the grouped module has no
+    BatchNorms, so any unfolded BN statistics would be silently dropped.
+    The per-level subtrees are left in place (checkpoints and the
+    training path keep using them); idempotent."""
+    import jax
+
+    variables = jax.tree_util.tree_map(np.asarray, dict(variables))
+    params = variables["params"]
+    names = [f"grid_fusion_p{li + 2}" for li in level_indices]
+    for n in names:
+        if n not in params:
+            raise ValueError(f"no per-level fusion params for {n}")
+        for bn in params[n]:
+            if "BatchNorm_0" in params[n][bn]:
+                bnp = params[n][bn]["BatchNorm_0"]
+                if not (np.allclose(bnp["scale"], 1.0)
+                        and np.allclose(bnp["bias"], 0.0)):
+                    raise ValueError(
+                        "group_fusion_variables needs a BN-folded tree; "
+                        f"run fold_bn_variables first ({n}/{bn})")
+
+    def cat(layer, field):
+        return np.concatenate(
+            [np.asarray(params[n][layer][field]) for n in names], axis=-1)
+
+    layers = (("down1", "down2", "up1", "up2") if mode == "conv3d"
+              else ("ident_conv",))
+    params["grid_fusion_grouped"] = {
+        layer: {"kernel": cat(layer, "kernel"), "bias": cat(layer, "bias")}
+        for layer in layers}
+    return variables
+
+
 def fold_bn_variables(variables):
     """Fold every frozen BatchNorm in a flax variables dict. Returns a new
     {'params', 'batch_stats', ...} dict (numpy leaves) plus a report of
