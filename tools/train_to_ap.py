@@ -141,6 +141,9 @@ def main(argv=None):
                              "(insurance against eval-path failures)")
     parser.add_argument("--eval-only", action="store_true",
                         help="skip training; restore --ckpt and evaluate")
+    parser.add_argument("--resume", action="store_true",
+                        help="restore --ckpt (params+optimizer+BN stats) "
+                             "if present and train --steps MORE steps")
     parser.add_argument("--bn-eval-batch-stats", action="store_true",
                         help="diagnostic: evaluate with BatchNorm in "
                              "batch-statistics mode (isolates running-"
@@ -348,19 +351,23 @@ def main(argv=None):
         tx = make_optimizer(sched, cfg.LEARNING_MOMENTUM,
                             cfg.GRADIENT_CLIP_NORM)
         state = state.replace(tx=tx, opt_state=tx.init(state.params))
-    if args.eval_only:
+    start_step = 0
+    if args.eval_only or args.resume:
         from mulit_view_object_detection_tpu.train.checkpoint import (
-            restore_checkpoint)
-        state = restore_checkpoint(args.ckpt, state)
-        print(f"restored {args.ckpt} at step {int(state.step)}",
-              flush=True)
+            latest_step, restore_checkpoint)
+        if args.eval_only or latest_step(args.ckpt) is not None:
+            state = restore_checkpoint(args.ckpt, state)
+            start_step = int(latest_step(args.ckpt) or 0)
+            print(f"restored {args.ckpt} at step {start_step}",
+                  flush=True)
     for step in range(0 if args.eval_only else args.steps):
         if step == drop_at:   # stage-style fine-tune at LR/10
             tx = make_optimizer(cfg.LEARNING_RATE / 10,
                                 cfg.LEARNING_MOMENTUM,
                                 cfg.GRADIENT_CLIP_NORM)
             state = state.replace(tx=tx, opt_state=tx.init(state.params))
-        batch = make_batch(ds, cfg, rnd_state=step, with_depth=with_depth)
+        batch = make_batch(ds, cfg, rnd_state=start_step + step,
+                           with_depth=with_depth)
         rng, srng = jax.random.split(rng)
         state, metrics = train_step(state, batch, srng)
         losses.append(float(metrics["loss"]))
@@ -383,7 +390,7 @@ def main(argv=None):
         # eval-path failure cannot lose the training budget
         from mulit_view_object_detection_tpu.train.checkpoint import (
             save_checkpoint)
-        save_checkpoint(args.ckpt, state, step=args.steps)
+        save_checkpoint(args.ckpt, state, step=start_step + args.steps)
         print(f"checkpoint saved to {args.ckpt}", flush=True)
     ap = evaluate(state)
     diag = None
