@@ -297,7 +297,6 @@ class MaskRCNN(nn.Module):
         use_pallas = getattr(cfg, "USE_PALLAS", False) and \
             jax.default_backend() in ("tpu", "axon")
         if use_pallas:
-            from ..kernels.reproject_pallas import project_grid_pallas
             from ..kernels.unproject_pallas import (
                 unproject_features_pallas, unproject_features_pallas_fused)
             unproject = unproject_features_pallas
@@ -352,17 +351,28 @@ class MaskRCNN(nn.Module):
                 vox = unproject(p, batch["Rcam"], batch["Kmat"],
                                 image_shape, grid_pts, grid_shape)
             fused = fusion(vox)
-            s = p.shape[2]                        # square feature maps
-            if use_pallas and method == "nearest":
-                # keep bf16: the one-hot gather is exact in any dtype
-                rays = project_grid_pallas(
-                    fused, batch["Kmat"], image_shape, s, cfg.samples, cfg)
-            else:
-                rays = project_grid(fused.astype(jnp.float32),
-                                    batch["Kmat"], image_shape, s,
-                                    cfg.samples, cfg, method=method)
-            out.append(collapse(rays.astype(dtype)))
+            out.append(self._reproject_collapse(
+                fused, collapse, p.shape[2], batch, image_shape, method,
+                use_pallas, dtype))
         return out, zeros
+
+    def _reproject_collapse(self, fused, collapse, s, batch, image_shape,
+                            method, use_pallas, dtype):
+        """Shared tail of the per-level and cross-level fusion paths:
+        reproject the fused voxel grid onto the level's ray samples and
+        collapse the depth axis. Single-sourced so the serving path's
+        numerics cannot silently diverge from the train/eval path."""
+        cfg = self.config
+        if use_pallas and method == "nearest":
+            # keep bf16: the one-hot gather is exact in any dtype
+            from ..kernels.reproject_pallas import project_grid_pallas
+            rays = project_grid_pallas(
+                fused, batch["Kmat"], image_shape, s, cfg.samples, cfg)
+        else:
+            rays = project_grid(fused.astype(jnp.float32),
+                                batch["Kmat"], image_shape, s,
+                                cfg.samples, cfg, method=method)
+        return collapse(rays.astype(dtype))
 
     def _fuse_views_cross_level(self, batch, levels, image_shape,
                                 zero_levels, grid_pts, grid_shape, method,
@@ -375,7 +385,6 @@ class MaskRCNN(nn.Module):
         from .fusion import DepthCollapse, GroupedGridFusion
         cfg = self.config
         if use_pallas:
-            from ..kernels.reproject_pallas import project_grid_pallas
             from ..kernels.unproject_pallas import (
                 unproject_features_pallas, unproject_features_pallas_fused)
         active = [li for li in range(len(levels)) if li not in zero_levels]
@@ -409,15 +418,9 @@ class MaskRCNN(nn.Module):
             collapse = DepthCollapse(
                 cfg.GRID_REAS, C, cfg.samples, False, dtype, fold_bn,
                 name=f"depth_collapse_p{li + 2}")
-            s = levels[li].shape[2]
-            if use_pallas and method == "nearest":
-                rays = project_grid_pallas(
-                    fused, batch["Kmat"], image_shape, s, cfg.samples, cfg)
-            else:
-                rays = project_grid(fused.astype(jnp.float32),
-                                    batch["Kmat"], image_shape, s,
-                                    cfg.samples, cfg, method=method)
-            out[li] = collapse(rays.astype(dtype))
+            out[li] = self._reproject_collapse(
+                fused, collapse, levels[li].shape[2], batch, image_shape,
+                method, use_pallas, dtype)
         return out, set(zero_levels)
 
 

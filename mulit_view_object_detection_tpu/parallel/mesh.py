@@ -46,6 +46,8 @@ def make_mesh(data=None, view=1, model=1, devices=None):
     n = len(devices)
     if data is None:
         data = n // (view * model)
+    assert data >= 1, (
+        f"not enough devices: {n} < view({view}) x model({model})")
     assert data * view * model <= n, (
         f"mesh {data}x{view}x{model} > {n} devices")
     devices = devices[:data * view * model]

@@ -31,7 +31,8 @@ import numpy as np
 
 
 class _Request:
-    __slots__ = ("views", "Rcam", "Kmat", "depths", "future", "t_submit")
+    __slots__ = ("views", "Rcam", "Kmat", "depths", "future", "t_submit",
+                 "signature")
 
     def __init__(self, views, Rcam, Kmat, depths):
         self.views = views
@@ -40,6 +41,13 @@ class _Request:
         self.depths = depths
         self.future = Future()
         self.t_submit = time.monotonic()
+        # requests only batch with identical field presence and shapes
+        self.signature = (
+            views.shape,
+            None if Rcam is None else np.asarray(Rcam).shape,
+            None if Kmat is None else np.asarray(Kmat).shape,
+            None if depths is None else np.asarray(depths).shape,
+        )
 
 
 class MicroBatcher:
@@ -63,10 +71,11 @@ class MicroBatcher:
         self.batch_size = int(batch_size)
         self.max_delay = float(max_delay_ms) / 1000.0
         self._queue = queue.Queue()
+        self._pending = []   # dispatcher-thread only: signature mismatches
         self._closed = threading.Event()
         self._stats_lock = threading.Lock()
-        self._stats = {"requests": 0, "batches": 0, "padded_slots": 0,
-                       "latency_ms_sum": 0.0}
+        self._stats = {"requests": 0, "completed": 0, "batches": 0,
+                       "padded_slots": 0, "latency_ms_sum": 0.0}
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         name="microbatcher", daemon=True)
         self._thread.start()
@@ -85,17 +94,33 @@ class MicroBatcher:
         return req.future
 
     def stats(self):
-        """Counters: requests, batches, padded_slots, mean_latency_ms."""
+        """Counters: requests, completed, batches, padded_slots,
+        mean_latency_ms (over COMPLETED requests)."""
         with self._stats_lock:
             s = dict(self._stats)
-        s["mean_latency_ms"] = (s.pop("latency_ms_sum") / s["requests"]
-                                if s["requests"] else 0.0)
+        s["mean_latency_ms"] = (s.pop("latency_ms_sum") / s["completed"]
+                                if s["completed"] else 0.0)
         return s
 
     def close(self, timeout=30.0):
-        """Drain the queue, stop the dispatcher, fail late submits."""
+        """Drain the queue, stop the dispatcher, fail late submits. Any
+        request that raced past the closed check after the dispatcher
+        exited is failed, not stranded."""
         self._closed.set()
         self._thread.join(timeout=timeout)
+        if self._thread.is_alive():   # still dispatching; don't race it
+            return
+        stranded = list(self._pending)
+        self._pending.clear()
+        while True:
+            try:
+                stranded.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        for req in stranded:
+            if not req.future.done():
+                req.future.set_exception(
+                    RuntimeError("MicroBatcher closed before dispatch"))
 
     def __enter__(self):
         return self
@@ -106,8 +131,14 @@ class MicroBatcher:
     # -------------------------------------------------------- internals
     def _collect(self):
         """Block for the first request, then fill up to batch_size within
-        max_delay. Returns [] when closing with an empty queue."""
+        max_delay. Only requests with an IDENTICAL field signature
+        (optional-field presence + shapes) share a batch — a mismatched
+        request waits for its own batch instead of poisoning this one.
+        Returns [] when closing with nothing left to serve."""
         while True:
+            if self._pending:
+                first = self._pending.pop(0)
+                break
             try:
                 first = self._queue.get(timeout=0.05)
                 break
@@ -117,20 +148,30 @@ class MicroBatcher:
         batch = [first]
         deadline = time.monotonic() + self.max_delay
         while len(batch) < self.batch_size:
+            matched = next((i for i, r in enumerate(self._pending)
+                            if r.signature == first.signature), None)
+            if matched is not None:
+                batch.append(self._pending.pop(matched))
+                continue
             remaining = deadline - time.monotonic()
             if remaining <= 0:
                 break
             try:
-                batch.append(self._queue.get(timeout=remaining))
+                req = self._queue.get(timeout=remaining)
             except queue.Empty:
                 break
+            if req.signature == first.signature:
+                batch.append(req)
+            else:
+                self._pending.append(req)
         return batch
 
     def _dispatch_loop(self):
         while True:
             batch = self._collect()
             if not batch:
-                if self._closed.is_set() and self._queue.empty():
+                if (self._closed.is_set() and self._queue.empty()
+                        and not self._pending):
                     return
                 continue
             n = len(batch)
@@ -149,9 +190,14 @@ class MicroBatcher:
                     kwargs["depths"] = np.concatenate(
                         [np.asarray(r.depths, np.float32) for r in reqs])
                 results = self.engine.detect(images, **kwargs)
+                if len(results) < n:
+                    raise RuntimeError(
+                        f"engine returned {len(results)} results for a "
+                        f"batch of {len(reqs)}")
                 now = time.monotonic()
                 with self._stats_lock:
                     self._stats["batches"] += 1
+                    self._stats["completed"] += n
                     self._stats["padded_slots"] += pad
                     self._stats["latency_ms_sum"] += sum(
                         (now - r.t_submit) * 1000.0 for r in batch)

@@ -118,18 +118,31 @@ def group_fusion_variables(variables, level_indices, mode="conv3d"):
 
     variables = jax.tree_util.tree_map(np.asarray, dict(variables))
     params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
     names = [f"grid_fusion_p{li + 2}" for li in level_indices]
     for n in names:
         if n not in params:
             raise ValueError(f"no per-level fusion params for {n}")
         for bn in params[n]:
-            if "BatchNorm_0" in params[n][bn]:
-                bnp = params[n][bn]["BatchNorm_0"]
-                if not (np.allclose(bnp["scale"], 1.0)
-                        and np.allclose(bnp["bias"], 0.0)):
-                    raise ValueError(
-                        "group_fusion_variables needs a BN-folded tree; "
-                        f"run fold_bn_variables first ({n}/{bn})")
+            if "BatchNorm_0" not in params[n][bn]:
+                continue
+            bnp = params[n][bn]["BatchNorm_0"]
+            folded = (np.allclose(bnp["scale"], 1.0)
+                      and np.allclose(bnp["bias"], 0.0))
+            # scale/bias can sit at their init values while the RUNNING
+            # STATS trained (e.g. frozen-stage training) — require the
+            # unique identity signature _fold_one writes (mean=0,
+            # var=1-eps), or the stats would be silently dropped.
+            stats = (batch_stats.get(n, {}).get(bn, {})
+                     .get("BatchNorm_0", {}))
+            if stats:
+                folded = (folded
+                          and np.allclose(stats["mean"], 0.0)
+                          and np.allclose(stats["var"], 1.0 - BN_EPS))
+            if not folded:
+                raise ValueError(
+                    "group_fusion_variables needs a BN-folded tree; "
+                    f"run fold_bn_variables first ({n}/{bn})")
 
     def cat(layer, field):
         return np.concatenate(

@@ -85,6 +85,68 @@ def test_concurrent_submitters_all_resolve():
     assert all(len(c) == 4 for c in eng.calls)
 
 
+def test_http_server_roundtrip_and_batching():
+    """Concurrent HTTP clients must batch onto one engine call and get
+    their own results back through the npz wire protocol."""
+    from mulit_view_object_detection_tpu.serve import (
+        detect_remote, make_server)
+
+    class DictEngine(FakeEngine):
+        def detect(self, images, Rcam=None, Kmat=None, depths=None):
+            self.calls.append(len(images))
+            out = []
+            for im in images:
+                v = float(np.asarray(im).mean())
+                out.append({
+                    "rois": np.full((1, 4), v, np.float32),
+                    "class_ids": np.array([int(v)], np.int32),
+                    "scores": np.array([0.9], np.float32),
+                    "masks": np.zeros((8, 8, 1), np.float32),
+                })
+            return out
+
+    eng = DictEngine()
+    # generous fill window: 4 client threads must land inside it even on
+    # a loaded 1-core host, or the batching assertion below flakes
+    server, batcher = make_server(eng, port=0, batch_size=4,
+                                  max_delay_ms=500)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{port}"
+        Rcam = np.zeros((1, 2, 3, 4), np.float32)
+        Kmat = np.eye(3, dtype=np.float32)[None]
+        results = {}
+
+        def client(i):
+            results[i] = detect_remote(url, _views(i), Rcam=Rcam,
+                                       Kmat=Kmat, timeout=30)
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert set(results) == {0, 1, 2, 3}
+        for i, r in results.items():
+            assert int(r["class_ids"][0]) == i
+            assert r["rois"].shape == (1, 4)
+        # concurrent clients shared device batches (not 4 x batch-1)
+        assert len(eng.calls) < 4
+        # stats endpoint
+        from urllib.request import urlopen
+        import json as _json
+        with urlopen(f"{url}/stats", timeout=10) as resp:
+            stats = _json.loads(resp.read())
+        assert stats["requests"] == 4
+        with urlopen(f"{url}/healthz", timeout=10) as resp:
+            assert resp.read() == b"ok"
+    finally:
+        server.shutdown()
+        batcher.close()
+
+
 def test_real_engine_microbatched_matches_direct(tmp_path):
     """Batched-through-the-batcher results must equal a direct batched
     detect() on the real tiny engine (CPU)."""

@@ -102,8 +102,12 @@ def main(argv=None):
     parser.add_argument("--eval-every", type=int, default=0,
                         help="0 = eval only at the end")
     parser.add_argument("--seed", type=int, default=1)
-    parser.add_argument("--lr-drop", type=float, default=0.75,
-                        help="fraction of steps after which LR /= 10")
+    parser.add_argument("--lr-drop", type=float, default=None,
+                        help="fraction of steps after which LR /= 10 "
+                             "(default 0.75 for fresh runs; disabled on "
+                             "--resume unless given explicitly — a "
+                             "resumed run otherwise retrains at full LR "
+                             "and re-resets momentum mid-continuation)")
     parser.add_argument("--out", default=None, help="write JSON here")
     parser.add_argument("--smoke", action="store_true",
                         help="CPU smoke: no AP threshold enforced")
@@ -339,7 +343,10 @@ def main(argv=None):
         }
 
     rng = jax.random.PRNGKey(args.seed + 100)
-    drop_at = int(args.steps * args.lr_drop)
+    lr_drop = args.lr_drop
+    if lr_drop is None:
+        lr_drop = 0.0 if args.resume else 0.75
+    drop_at = int(args.steps * lr_drop) if lr_drop else -1
     t0 = time.time()
     losses = []
     history = []
