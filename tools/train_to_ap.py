@@ -143,18 +143,40 @@ def main(argv=None):
     parser.add_argument("--ckpt", default=None,
                         help="save the trained state here before eval "
                              "(insurance against eval-path failures)")
+    parser.add_argument("--ckpt-every", type=int, default=0,
+                        help="also checkpoint every N steps (bounds the "
+                             "work lost to a host OOM-kill; the axon "
+                             "tunnel client leaks ~35 MB of host RSS per "
+                             "step at 640^2 batch 4, see BENCH_NOTES)")
+    parser.add_argument("--max-rss-gb", type=float, default=0,
+                        help="if >0: when host RSS exceeds this, save "
+                             "--ckpt and exit(75) so a supervisor loop "
+                             "can restart with --resume instead of "
+                             "being OOM-killed mid-step")
     parser.add_argument("--eval-only", action="store_true",
                         help="skip training; restore --ckpt and evaluate")
     parser.add_argument("--resume", action="store_true",
                         help="restore --ckpt (params+optimizer+BN stats) "
                              "if present and train --steps MORE steps")
+    parser.add_argument("--until-step", type=int, default=0,
+                        help="absolute step target: train max(0, N - "
+                             "restored_step) steps. Overrides --steps; "
+                             "the restart-idempotent contract "
+                             "train_supervisor.py relies on")
     parser.add_argument("--bn-eval-batch-stats", action="store_true",
                         help="diagnostic: evaluate with BatchNorm in "
                              "batch-statistics mode (isolates running-"
                              "average train/eval skew)")
     args = parser.parse_args(argv)
 
+    # Persistent compilation cache: segmented/restarted runs (see
+    # --max-rss-gb) must not re-pay the multi-minute 640^2 compile.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     from mulit_view_object_detection_tpu.cli.interior_multi import _eval_views
     from mulit_view_object_detection_tpu.compat.model import MaskRCNN
     from mulit_view_object_detection_tpu.data.generator import make_batch
@@ -359,7 +381,7 @@ def main(argv=None):
                             cfg.GRADIENT_CLIP_NORM)
         state = state.replace(tx=tx, opt_state=tx.init(state.params))
     start_step = 0
-    if args.eval_only or args.resume:
+    if args.eval_only or args.resume or (args.until_step and args.ckpt):
         from mulit_view_object_detection_tpu.train.checkpoint import (
             latest_step, restore_checkpoint)
         if args.eval_only or latest_step(args.ckpt) is not None:
@@ -367,7 +389,20 @@ def main(argv=None):
             start_step = int(latest_step(args.ckpt) or 0)
             print(f"restored {args.ckpt} at step {start_step}",
                   flush=True)
-    for step in range(0 if args.eval_only else args.steps):
+    n_steps = args.steps
+    if args.until_step:
+        n_steps = max(0, args.until_step - start_step)
+        print(f"until-step {args.until_step}: {n_steps} steps to run "
+              f"from {start_step}", flush=True)
+        # segment-restart-idempotent LR drop: schedule in ABSOLUTE step
+        # space against the final target (a restarted segment must not
+        # re-run 75% of its remainder at full LR)
+        abs_drop = args.lr_drop if args.lr_drop is not None else 0.75
+        drop_at = (int(args.until_step * abs_drop) - start_step
+                   if abs_drop else -1)
+        if drop_at < 0 and abs_drop:
+            drop_at = 0  # restored past the boundary: drop immediately
+    for step in range(0 if args.eval_only else n_steps):
         if step == drop_at:   # stage-style fine-tune at LR/10
             tx = make_optimizer(cfg.LEARNING_RATE / 10,
                                 cfg.LEARNING_MOMENTUM,
@@ -378,14 +413,31 @@ def main(argv=None):
         rng, srng = jax.random.split(rng)
         state, metrics = train_step(state, batch, srng)
         losses.append(float(metrics["loss"]))
-        if step % 100 == 0 or step == args.steps - 1:
+        if step % 100 == 0 or step == n_steps - 1:
             if args.diagnostics:
                 loss_history.append(
                     {"step": step,
                      **{k: round(float(v), 4)
                         for k, v in metrics.items()}})
+            import resource
+            rss_gb = (resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+                      / 1024.0 / 1024.0)
             print(f"step {step}: loss={losses[-1]:.4f} "
-                  f"({time.time() - t0:.0f}s)", flush=True)
+                  f"({time.time() - t0:.0f}s, rss {rss_gb:.1f} GB)",
+                  flush=True)
+            if args.max_rss_gb and rss_gb > args.max_rss_gb and args.ckpt:
+                from mulit_view_object_detection_tpu.train.checkpoint \
+                    import save_checkpoint
+                save_checkpoint(args.ckpt, state, step=start_step + step + 1)
+                print(f"RSS {rss_gb:.1f} GB > {args.max_rss_gb} GB budget: "
+                      f"checkpointed at step {start_step + step + 1}, "
+                      f"exiting 75 for supervised restart", flush=True)
+                raise SystemExit(75)
+        if (args.ckpt_every and args.ckpt
+                and (step + 1) % args.ckpt_every == 0):
+            from mulit_view_object_detection_tpu.train.checkpoint import (
+                save_checkpoint)
+            save_checkpoint(args.ckpt, state, step=start_step + step + 1)
         if args.eval_every and (step + 1) % args.eval_every == 0:
             ap = evaluate(state)
             history.append({"step": step + 1, "ap50": ap})
@@ -397,7 +449,7 @@ def main(argv=None):
         # eval-path failure cannot lose the training budget
         from mulit_view_object_detection_tpu.train.checkpoint import (
             save_checkpoint)
-        save_checkpoint(args.ckpt, state, step=start_step + args.steps)
+        save_checkpoint(args.ckpt, state, step=start_step + n_steps)
         print(f"checkpoint saved to {args.ckpt}", flush=True)
     ap = evaluate(state)
     diag = None
@@ -411,7 +463,7 @@ def main(argv=None):
         "samples": cfg.samples,
         "nvox": cfg.nvox,
         "ap50": round(ap, 4),
-        "steps": args.steps,
+        "steps": start_step + n_steps,
         "image_size": args.image_size,
         "num_views": args.num_views,
         "scenes": args.scenes,
