@@ -173,6 +173,12 @@ class Config:
                                 # HBM floor there. Enable for memory-constrained
                                 # configs (V=4, bigger grids/batches) where the
                                 # activation footprint, not step time, binds.
+    UINT8_IMAGE_TRANSFER = False  # ship batch["images"] host->device as raw
+                                # resized uint8 and mold (mean-subtract +
+                                # cast) ON DEVICE. 4x fewer bytes over
+                                # PCIe/the tunnel per step; bit-identical to
+                                # host-side molding because resize_image
+                                # returns uint8 either way (molding.py:98).
     CLIP_PROJECTION = False     # True: mask out-of-frustum voxels (the reference
                                 # has no OOB handling - a latent bug, see
                                 # model_multi.py:192-220); False keeps reference

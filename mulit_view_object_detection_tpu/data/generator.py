@@ -130,7 +130,9 @@ def make_sample(dataset, config, view_ids, rnd_state=None,
         dataset, cfg, main_id, use_mini_mask=cfg.USE_MINI_MASK,
         augmentation=augmentation, rnd=rnd)
 
-    images = np.zeros((v, hw, hw, 3), np.float32)
+    uint8_xfer = bool(getattr(cfg, "UINT8_IMAGE_TRANSFER", False))
+    images = np.zeros((v, hw, hw, 3),
+                      np.uint8 if uint8_xfer else np.float32)
     R = np.zeros((v, 3, 4), np.float32)
     # depth maps ride at the P5 feature resolution (the transformer tokens
     # are P5 pixels — model_transformer.py:2419-2438), whatever the image
@@ -140,7 +142,12 @@ def make_sample(dataset, config, view_ids, rnd_state=None,
     # mold straight into the preallocated batch slot: one fused
     # subtract-with-cast instead of astype + subtract + copy
     mean_pixel = np.asarray(cfg.MEAN_PIXEL, np.float32)
-    np.subtract(image, mean_pixel, out=images[0], casting="unsafe")
+    if uint8_xfer:
+        # raw resized pixels; the device graph de-molds (detector.py) —
+        # bit-identical since resize_image hands back uint8 either way
+        images[0] = image.astype(np.uint8, copy=False)
+    else:
+        np.subtract(image, mean_pixel, out=images[0], casting="unsafe")
     R[0] = dataset.load_R(main_id)
     if with_depth:
         depths[0] = dataset.load_depth(main_id, cfg)
@@ -149,7 +156,10 @@ def make_sample(dataset, config, view_ids, rnd_state=None,
         im, _, _, _, _ = resize_image(
             im, min_dim=cfg.IMAGE_MIN_DIM, min_scale=cfg.IMAGE_MIN_SCALE,
             max_dim=cfg.IMAGE_MAX_DIM, mode=cfg.IMAGE_RESIZE_MODE)
-        np.subtract(im, mean_pixel, out=images[i], casting="unsafe")
+        if uint8_xfer:
+            images[i] = im.astype(np.uint8, copy=False)
+        else:
+            np.subtract(im, mean_pixel, out=images[i], casting="unsafe")
         R[i] = dataset.load_R(vid)
         if with_depth:
             depths[i] = dataset.load_depth(vid, cfg)

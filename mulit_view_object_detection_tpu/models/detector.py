@@ -62,7 +62,8 @@ class MaskRCNN(nn.Module):
     @nn.compact
     def __call__(self, batch, training=False):
         """batch keys:
-          images  [B, V, H, W, 3] molded float32
+          images  [B, V, H, W, 3] molded float32, or raw resized uint8
+                  when config.UINT8_IMAGE_TRANSFER (de-molded on device)
           image_meta [B, META_SIZE]
           anchors [A, 4] normalized
           Rcam    [B, V, 3, 4] cam->world poses   (multi-view only)
@@ -89,7 +90,15 @@ class MaskRCNN(nn.Module):
         # ------------------------------------------------------------------
         # Backbone + FPN (views folded into batch)
         # ------------------------------------------------------------------
-        x = images.reshape(b * v, h, w, images.shape[-1]).astype(dtype)
+        x = images.reshape(b * v, h, w, images.shape[-1])
+        if x.dtype == jnp.uint8:
+            # UINT8_IMAGE_TRANSFER: raw resized pixels shipped host->device
+            # (4x fewer bytes); de-mold here in f32 — bit-identical to the
+            # host-side mold (molding.py:150 subtracts MEAN_PIXEL from the
+            # same uint8 pixels). XLA fuses the subtract into the first conv.
+            mean = jnp.asarray(np.asarray(cfg.MEAN_PIXEL, np.float32))
+            x = x.astype(jnp.float32) - mean
+        x = x.astype(dtype)
         stage4_blocks = getattr(cfg, "RESNET50_STAGE4_BLOCKS", None)
         _, c2, c3, c4, c5 = ResNet(
             cfg.BACKBONE, stage5=True, train_bn=train_bn,
@@ -435,8 +444,10 @@ def make_dummy_batch(config, training=False, batch_size=None, num_views=None,
     v = num_views or cfg.NUM_VIEWS
     hw = image_size or int(cfg.IMAGE_SHAPE[0])
     anchors = get_anchors(cfg, [hw, hw, 3])
+    img_dtype = (np.uint8 if getattr(cfg, "UINT8_IMAGE_TRANSFER", False)
+                 else np.float32)
     batch = {
-        "images": np.zeros((b, v, hw, hw, 3), np.float32),
+        "images": np.zeros((b, v, hw, hw, 3), img_dtype),
         "image_meta": np.zeros((b, cfg.IMAGE_META_SIZE), np.float32),
         "anchors": anchors.astype(np.float32),
         "Rcam": np.tile(np.eye(3, 4, dtype=np.float32), (b, v, 1, 1)),

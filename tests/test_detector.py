@@ -165,3 +165,65 @@ def test_transformer_keep_main_levels():
 
     seg1 = np.asarray(run(KeepMain())["rpn_class_logits"][0, :p2_anchors])
     assert seg1.std(axis=0).max() > 1e-4
+
+
+def test_uint8_image_transfer_exactness():
+    """UINT8_IMAGE_TRANSFER ships raw resized uint8 and de-molds on device
+    (detector.py intake); the result must be BIT-identical to the host-
+    molded float path, because resize_image returns uint8 either way."""
+    class C(TinyBase):
+        NUM_VIEWS = 2
+        GRID_REAS = "add"
+        IMAGES_PER_GPU = 1
+    cfg = C()
+    model = MaskRCNN(cfg)
+
+    rng = np.random.RandomState(3)
+    raw = rng.randint(0, 256, size=(1, 2, 64, 64, 3)).astype(np.uint8)
+    mean = np.asarray(cfg.MEAN_PIXEL, np.float32)
+
+    batch_f32 = make_dummy_batch(cfg, training=False)
+    batch_f32["images"] = raw.astype(np.float32) - mean  # host mold
+    batch_u8 = dict(batch_f32)
+    batch_u8["images"] = raw                             # device mold
+
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, batch_f32, training=False)
+    out_f = model.apply(variables, batch_f32, training=False)
+    out_u = model.apply(variables, batch_u8, training=False)
+    np.testing.assert_array_equal(np.asarray(out_f["detections"]),
+                                  np.asarray(out_u["detections"]))
+    np.testing.assert_array_equal(np.asarray(out_f["mrcnn_masks"]),
+                                  np.asarray(out_u["mrcnn_masks"]))
+
+
+def test_uint8_image_transfer_batch_plumbing():
+    """make_batch + make_dummy_batch emit uint8 images when the config
+    asks for the on-device mold, and the molded pixel values round-trip."""
+    from mulit_view_object_detection_tpu.data.generator import make_batch
+    from mulit_view_object_detection_tpu.data.synthetic import (
+        SyntheticMultiViewDataset)
+
+    class C(TinyBase):
+        NUM_VIEWS = 2
+        GRID_REAS = "add"
+        UINT8_IMAGE_TRANSFER = True
+        USE_MINI_MASK = True
+        MINI_MASK_SHAPE = (14, 14)
+    cfg = C()
+    assert make_dummy_batch(cfg)["images"].dtype == np.uint8
+    ds = SyntheticMultiViewDataset(num_scenes=1, num_views=2,
+                                   image_size=64,
+                                   num_classes=cfg.NUM_CLASSES, seed=0)
+    s_u8 = make_batch(ds, cfg, rnd_state=0)
+    assert s_u8["images"].dtype == np.uint8
+
+    class Cf(C):
+        UINT8_IMAGE_TRANSFER = False
+    s_f = make_batch(ds, Cf(), rnd_state=0)
+    assert s_f["images"].dtype == np.float32
+    mean = np.asarray(cfg.MEAN_PIXEL, np.float32)
+    np.testing.assert_array_equal(
+        s_u8["images"].astype(np.float32) - mean, s_f["images"])

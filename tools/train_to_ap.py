@@ -163,6 +163,13 @@ def main(argv=None):
                              "restored_step) steps. Overrides --steps; "
                              "the restart-idempotent contract "
                              "train_supervisor.py relies on")
+    parser.add_argument("--uint8-input", action="store_true",
+                        help="UINT8_IMAGE_TRANSFER: ship raw resized "
+                             "uint8 images host->device and mold on "
+                             "device (4x fewer bytes/step over the "
+                             "tunnel; bit-identical, see "
+                             "tests/test_detector.py::"
+                             "test_uint8_image_transfer_exactness)")
     parser.add_argument("--bn-eval-batch-stats", action="store_true",
                         help="diagnostic: evaluate with BatchNorm in "
                              "batch-statistics mode (isolates running-"
@@ -199,6 +206,8 @@ def main(argv=None):
         # the class, so inference keeps its batch-1 geometry
         cfg.IMAGES_PER_GPU = args.batch
         cfg.BATCH_SIZE = args.batch * cfg.GPU_COUNT
+    if args.uint8_input:
+        cfg.UINT8_IMAGE_TRANSFER = True
     if args.zero_pg is not None:
         cfg.ZERO_PG_LEVELS = tuple(
             int(x) for x in args.zero_pg.split(",") if x != "")
