@@ -28,6 +28,10 @@ def main(argv=None):
     p.add_argument("--batches", type=int, default=48)
     p.add_argument("--workers", type=int, nargs="*", default=[1, 4, 8])
     p.add_argument("--mode", choices=["thread", "process"], default="thread")
+    p.add_argument("--uint8", action="store_true",
+                   help="UINT8_IMAGE_TRANSFER batches: skip the host-side "
+                        "f32 mold (mean-subtract moves on device) and "
+                        "emit 4x smaller image buffers")
     args = p.parse_args(argv)
 
     from mulit_view_object_detection_tpu.config import Config
@@ -46,6 +50,7 @@ def main(argv=None):
         IMAGE_MAX_DIM = args.image_size
         MAX_GT_INSTANCES = 100
         USE_MINI_MASK = True
+        UINT8_IMAGE_TRANSFER = args.uint8
 
     cfg = InputBench()
     ds = SyntheticMultiViewDataset(
@@ -72,6 +77,7 @@ def main(argv=None):
         print(json.dumps({
             "metric": "host_input_pipeline",
             "mode": args.mode,
+            "uint8": args.uint8,
             "workers": workers,
             "image_size": args.image_size,
             "batches_per_sec": round(bps, 2),
