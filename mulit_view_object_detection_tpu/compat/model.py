@@ -162,7 +162,11 @@ class MaskRCNN:
                 min_scale=self.config.IMAGE_MIN_SCALE,
                 max_dim=self.config.IMAGE_MAX_DIM,
                 mode=self.config.IMAGE_RESIZE_MODE)
-            molded_image = mold_image(molded_image, self.config.MEAN_PIXEL)
+            if not getattr(self.config, "UINT8_IMAGE_TRANSFER", False):
+                molded_image = mold_image(molded_image,
+                                          self.config.MEAN_PIXEL)
+            # else: raw resized uint8 — the device graph de-molds
+            # (detector.py intake), shipping 4x fewer bytes per request
             image_meta = compose_image_meta(
                 0, image.shape, molded_image.shape, window, scale,
                 np.zeros([self.config.NUM_CLASSES], dtype=np.int32))
@@ -246,7 +250,8 @@ class MaskRCNN:
         hw = molded.shape[2]
 
         batch = {
-            "images": molded.astype(np.float32),
+            "images": (molded if molded.dtype == np.uint8
+                       else molded.astype(np.float32)),
             "image_meta": metas.astype(np.float32),
             "anchors": self.get_anchors(molded.shape[2:]).astype(np.float32),
         }
@@ -342,7 +347,8 @@ class MaskRCNN:
         molded = np.stack(batch_images)
         b, v = molded.shape[:2]
         batch = {
-            "images": molded.astype(np.float32),
+            "images": (molded if molded.dtype == np.uint8
+                       else molded.astype(np.float32)),
             "image_meta": metas.astype(np.float32),
             "anchors": self.get_anchors(molded.shape[2:]).astype(np.float32),
             "Rcam": (np.asarray(Rcam, np.float32) if Rcam is not None else

@@ -130,3 +130,26 @@ def test_ancestor_name_search():
     out = model.ancestor(r"detections|proposals", images=[image])
     assert set(out) == {"detections", "proposals"}
     assert out["proposals"].shape[1] == 8
+
+
+def test_detect_uint8_transfer_exactness(model):
+    """detect() with UINT8_IMAGE_TRANSFER (raw uint8 to the device,
+    on-device mold) must match the host-molded float path bit-for-bit."""
+    ds = SyntheticMultiViewDataset(num_scenes=1, num_views=2)
+    view_ids = ds.load_view(2, "s0_v0")
+    views = np.stack([ds.load_image(v) for v in view_ids])
+    R = np.stack([ds.load_R(v) for v in view_ids])[None]
+    K = ds.K[None].astype(np.float32)
+
+    r_f32 = model.detect([views], Rcam=R, Kmat=K)[0]
+    model.config.UINT8_IMAGE_TRANSFER = True
+    try:
+        molded, _, _ = model.mold_inputs(list(views))
+        assert molded.dtype == np.uint8
+        r_u8 = model.detect([views], Rcam=R, Kmat=K)[0]
+    finally:
+        model.config.UINT8_IMAGE_TRANSFER = False
+    np.testing.assert_array_equal(r_f32["rois"], r_u8["rois"])
+    np.testing.assert_array_equal(r_f32["class_ids"], r_u8["class_ids"])
+    np.testing.assert_array_equal(r_f32["scores"], r_u8["scores"])
+    np.testing.assert_array_equal(r_f32["masks"], r_u8["masks"])
