@@ -454,6 +454,11 @@ class MaskRCNN:
                                     batch_size=local_bs),
             num_threads=prefetch_threads)
         os.makedirs(self.checkpoint_dir, exist_ok=True)
+        # per-epoch scalars -> TensorBoard event file + JSONL, matching the
+        # reference's TensorBoard callback (model.py:2346-2348)
+        from ..utils.logging_utils import MetricsLogger, TBEventWriter
+        jsonl = MetricsLogger(self.log_dir)
+        tb = TBEventWriter(self.log_dir)
         try:
             for epoch in range(self.epoch, epochs):
                 metrics_acc = {}
@@ -481,6 +486,8 @@ class MaskRCNN:
                 log.info("epoch %d: %s", epoch + 1, means)
                 print(f"epoch {epoch + 1}: " + " ".join(
                     f"{k_}={v_:.4f}" for k_, v_ in sorted(means.items())))
+                jsonl.log(epoch + 1, **means)
+                tb.add_scalars(epoch + 1, means)
                 if (epoch + 1) % save_every_epochs == 0 or epoch + 1 == epochs:
                     self._state = state
                     save_checkpoint(self.checkpoint_dir, state,
@@ -490,6 +497,8 @@ class MaskRCNN:
                         cb(epoch + 1, means)
         finally:
             prefetcher.close()
+            jsonl.close()
+            tb.close()
         self._state = state
         self.epoch = max(self.epoch, epochs)
 

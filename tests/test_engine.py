@@ -89,6 +89,17 @@ def test_train_reports_validation(ds, tmp_path):
     assert "val_loss" in metrics and np.isfinite(metrics["val_loss"])
     for part in ("rpn_class_loss", "mrcnn_mask_loss"):
         assert f"val_{part}" in metrics
+    # observability parity: the loop writes per-epoch scalars both as
+    # JSONL and as a TensorBoard event file (reference model.py:2346-2348)
+    import glob
+    from mulit_view_object_detection_tpu.utils.logging_utils import (
+        read_tb_events)
+    root = str(tmp_path / "val")
+    (jsonl_path,) = glob.glob(f"{root}/**/metrics.jsonl", recursive=True)
+    (tb_path,) = glob.glob(f"{root}/**/events.out.tfevents.*",
+                           recursive=True)
+    ((step, scalars),) = read_tb_events(tb_path)
+    assert step == 1 and "val_loss" in scalars and "loss" in scalars
 
 
 def test_load_image_gt_augmentation_flips_consistently(ds):
