@@ -84,6 +84,10 @@ class MaskRCNN:
                 active = [li for li in range(5) if li not in zero]
                 folded = group_fusion_variables(folded, active,
                                                 mode=cfg.GRID_REAS)
+            # fold_bn_variables works in host numpy; push the folded trees
+            # to the device ONCE here, or every detect() re-uploads the
+            # whole weight set (bench.py does the same post-fold put)
+            folded = jax.device_put(folded)
             self._fold_cache = state.replace(
                 params=folded["params"], batch_stats=folded["batch_stats"])
             self._fold_src = state

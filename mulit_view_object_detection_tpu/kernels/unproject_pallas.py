@@ -311,18 +311,15 @@ def auto_tile(p, c=64, bv=None):
     return min(tile, c_cap)
 
 
-def unproject_features_pallas(feats, Rcam, Kmat, image_shape, grid_pts,
-                              grid_shape, tile=None):
-    """Drop-in Pallas replacement for ops.projection.unproject_features.
-
-    feats: [B, V, fh, fw, C]; Rcam: [B, V, 3, 4]; Kmat: [B, 3, 3];
-    grid_pts: [4, N]; grid_shape: (nx, ny, nz).
-    Returns [B, V, nx, ny, nz, C].
-    """
+def _project_voxel_coords(feats, Rcam, Kmat, image_shape, grid_pts):
+    """Shared projection geometry for both unproject wrappers: voxel grid
+    points -> per-view feature-map pixel coords x, y [B*V, N] (the
+    main-view re-anchoring composition, model_multi.py:174-188). One
+    implementation so the plain train/eval path and the fused serving
+    path can never drift numerically."""
     from ..ops.projection import _to_hom4, pose_inverse
 
-    b, v, fh, fw, c = feats.shape
-    nx, ny, nz = grid_shape
+    b, v, fh, fw, _ = feats.shape
     rsz_h = fh / float(image_shape[0])
     rsz_w = fw / float(image_shape[1])
 
@@ -334,6 +331,20 @@ def unproject_features_pallas(feats, Rcam, Kmat, image_shape, grid_pts,
     z = uvw[:, :, 2]
     x = (uvw[:, :, 0] / z * rsz_w).reshape(b * v, -1)
     y = (uvw[:, :, 1] / z * rsz_h).reshape(b * v, -1)
+    return x, y
+
+
+def unproject_features_pallas(feats, Rcam, Kmat, image_shape, grid_pts,
+                              grid_shape, tile=None):
+    """Drop-in Pallas replacement for ops.projection.unproject_features.
+
+    feats: [B, V, fh, fw, C]; Rcam: [B, V, 3, 4]; Kmat: [B, 3, 3];
+    grid_pts: [4, N]; grid_shape: (nx, ny, nz).
+    Returns [B, V, nx, ny, nz, C].
+    """
+    b, v, fh, fw, c = feats.shape
+    nx, ny, nz = grid_shape
+    x, y = _project_voxel_coords(feats, Rcam, Kmat, image_shape, grid_pts)
 
     flat = feats.reshape(b * v, fh * fw, c)
     if tile is None:
@@ -349,27 +360,17 @@ def unproject_features_pallas_fused(feats, Rcam, Kmat, image_shape,
     layout [B, nx, ny, nz, V*C] directly (+ optional epilogue relu) — the
     exact input GridFusion conv3d/ident consume, with no transpose pass.
     relu(concat(views)) == concat(relu(view)) so the epilogue is exact."""
-    from ..ops.projection import _to_hom4, pose_inverse
-
     b, v, fh, fw, c = feats.shape
     nx, ny, nz = grid_shape
-    rsz_h = fh / float(image_shape[0])
-    rsz_w = fw / float(image_shape[1])
-
-    w2c = pose_inverse(Rcam)
-    KR = jnp.einsum("bij,bvjk->bvik", Kmat, w2c)
-    pose0 = _to_hom4(Rcam[:, 0])
-    M = jnp.einsum("bvij,bjk->bvik", KR, pose0)
-    uvw = jnp.einsum("bvij,jn->bvin", M, grid_pts)
-    z = uvw[:, :, 2]
-    x = (uvw[:, :, 0] / z * rsz_w).reshape(b * v, -1)
-    y = (uvw[:, :, 1] / z * rsz_h).reshape(b * v, -1)
+    x, y = _project_voxel_coords(feats, Rcam, Kmat, image_shape, grid_pts)
 
     flat = feats.reshape(b * v, fh * fw, c)
     if tile is None:
         # one grid step holds ALL v views' W temporaries + features, so
         # the single-view auto tile overflows the 16 MB scoped-vmem stack
-        # (measured: 17.96M at tile=4096/P=64/v=2) — scale it down by v
-        tile = max(1024, auto_tile(fh * fw, c, bv=b * v) // v)
+        # (measured: 17.96M at tile=4096/P=64/v=2) — scale it down by v,
+        # keeping the 128-lane multiple the kernel requires (v=3 would
+        # otherwise yield 4096//3 = 1365)
+        tile = max(1024, auto_tile(fh * fw, c, bv=b * v) // v // 128 * 128)
     out = bilinear_gather_fused(flat, x, y, fh, fw, v, tile, relu)
     return out.reshape(b, nx, ny, nz, v * c)

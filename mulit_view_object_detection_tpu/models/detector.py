@@ -157,13 +157,14 @@ class MaskRCNN(nn.Module):
         # ------------------------------------------------------------------
         proposal_count = (cfg.POST_NMS_ROIS_TRAINING if training
                           else cfg.POST_NMS_ROIS_INFERENCE)
-        # Zeroed levels' scores are per-level constants (folded RPN above)
+        # Zeroed levels' scores are k-periodic constants — one constant
+        # per anchor-ratio slot, tiled over cells by the folded RPN above
         # — tell the proposal layer so its top-k runs only over the
         # non-constant anchors (exact, ~94% fewer at the flagship shape)
         const_spans, off = [], 0
         for li, n_l in enumerate(level_counts):
             if li in zero_levels:
-                const_spans.append((off, n_l))
+                const_spans.append((off, n_l, k))
             off += n_l
         if off != batch["anchors"].shape[0]:
             const_spans = []              # anchor layout mismatch: fall back

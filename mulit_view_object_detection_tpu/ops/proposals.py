@@ -20,20 +20,25 @@ from .nms import nms
 
 def _stable_topk_with_const_spans(scores_i, k, const_spans, a_total):
     """Exact top-k of [A] scores where the anchors in `const_spans`
-    (static (start, size) tuples) all carry one per-span constant score.
+    (static (start, size, period) tuples) carry periodically repeating
+    constant scores: scores_i[s + r + j*period] == scores_i[s + r] for
+    all j (one constant per anchor-ratio slot r < period).
 
-    The zeroed pyramid levels' RPN outputs are spatially constant (the
-    detector constant-folds their conv stacks), and at the flagship
-    config they are ~94% of all anchors — so the expensive top-k runs
-    only over the non-constant remainder, and each constant span joins a
-    small merge pool as its first min(k, size) indices (higher indices of
-    an equal-score run can never be selected before lower ones). The
-    pool is then sorted by (score desc, index asc) — bit-identical
-    selection and ordering to lax.top_k over the full array, whose tie
-    rule is lowest-index-first."""
+    The zeroed pyramid levels' RPN outputs are spatially constant per
+    ratio slot (the detector constant-folds their conv stacks on a 1x1
+    zero tile and tiles the [B, k, ...] result over H*W cells, so the
+    span repeats its k per-ratio constants with period k). At the
+    flagship config those spans are ~94% of all anchors — so the
+    expensive top-k runs only over the non-constant remainder, and each
+    residue class of a constant span joins a small merge pool as its
+    first min(k, class_size) indices (higher indices of an equal-score
+    run can never be selected before lower ones). The pool is then
+    sorted by (score desc, index asc) — bit-identical selection and
+    ordering to lax.top_k over the full array, whose tie rule is
+    lowest-index-first."""
     spans = sorted(const_spans)
     real_spans, pos = [], 0
-    for s, z in spans:
+    for s, z, _ in spans:
         if s > pos:
             real_spans.append((pos, s - pos))
         pos = s + z
@@ -50,10 +55,14 @@ def _stable_topk_with_const_spans(scores_i, k, const_spans, a_total):
         vals_r, ir = jax.lax.top_k(reals, kr)
         pool_v.append(vals_r)
         pool_i.append(real_idx[ir])
-    for s, z in spans:
-        m = min(k, z)
-        pool_v.append(jnp.full((m,), scores_i[s], scores_i.dtype))
-        pool_i.append(jnp.arange(s, s + m, dtype=jnp.int32))
+    for s, z, p in spans:
+        for r in range(p):
+            count = (z - r + p - 1) // p  # indices s+r, s+r+p, ...
+            m = min(k, count)
+            if m <= 0:
+                continue
+            pool_v.append(jnp.full((m,), scores_i[s + r], scores_i.dtype))
+            pool_i.append(s + r + p * jnp.arange(m, dtype=jnp.int32))
     vals = jnp.concatenate(pool_v)
     idx = jnp.concatenate(pool_i)
     neg, sidx = jax.lax.sort((-vals, idx), num_keys=2)
@@ -68,9 +77,10 @@ def generate_proposals(rpn_probs, rpn_deltas, anchors, *, proposal_count,
     Returns proposals [B, proposal_count, 4] in normalized coords,
     zero-padded (reference pads with zeros, model.py:323-326).
 
-    const_spans: static ((start, size), ...) anchor ranges whose scores
-    are a per-span constant (zeroed pyramid levels) — enables the exact
-    split top-k (see _stable_topk_with_const_spans)."""
+    const_spans: static ((start, size, period), ...) anchor ranges whose
+    scores repeat one constant per ratio slot with the given period
+    (zeroed pyramid levels) — enables the exact split top-k (see
+    _stable_topk_with_const_spans)."""
     anchors = jnp.asarray(anchors)
     scores = rpn_probs[:, :, 1]
     deltas = rpn_deltas * jnp.asarray(bbox_std_dev, jnp.float32)

@@ -35,8 +35,13 @@ def _h5_layer_weights(h5file):
     real save_weights protocol is used (weight_names are paths inside the
     layer group; a nested submodel like ``rpn_model`` lists its inner
     layers' names — the inner layer is the addressable unit). Falls back
-    to a structural walk for attr-less files."""
-    out = {}
+    to a structural walk for attr-less files.
+
+    Returns ({inner_layer: {weight: array}}, {inner_layer: saved_layer})
+    — the second map preserves the OUTER saved name (e.g. ``rpn_model``
+    for its inner ``rpn_conv_shared``) so exclude= can address either,
+    like the reference's by-name loader which keys on saved names."""
+    out, outer_of = {}, {}
     if "layer_names" not in h5file.attrs and "model_weights" in h5file:
         root = h5file["model_weights"]
     else:
@@ -55,7 +60,8 @@ def _h5_layer_weights(h5file):
                 inner = parts[-2] if len(parts) > 1 else lname
                 wname = parts[-1].split(":")[0]
                 out.setdefault(inner, {})[wname] = np.asarray(g[wpath])
-        return out
+                outer_of[inner] = lname
+        return out, outer_of
 
     def visit(name, obj):
         import h5py as _h
@@ -65,9 +71,10 @@ def _h5_layer_weights(h5file):
             layer = parts[-2]
             wname = parts[-1].split(":")[0]
             out.setdefault(layer, {})[wname] = np.asarray(obj)
+            outer_of[layer] = parts[0] if parts else layer
 
     root.visititems(visit)
-    return out
+    return out, outer_of
 
 
 _BOTTLENECK_RE = re.compile(r"^(res|bn)(\d)([a-z]+)_branch(2[abc]|1)$")
@@ -123,11 +130,14 @@ def load_h5_weights(h5_path, params, batch_stats=None, verbose=False,
     exclude = set(exclude or ())
 
     with h5py.File(h5_path, "r") as f:
-        layers = _h5_layer_weights(f)
+        layers, outer_of = _h5_layer_weights(f)
 
     loaded, skipped, excluded = [], [], []
     for lname, weights in layers.items():
-        if lname in exclude:
+        # exclude matches either the inner layer name or the saved
+        # (outer) layer name — the reference excludes by saved name, e.g.
+        # exclude=["rpn_model"] drops the whole nested RPN submodel
+        if lname in exclude or outer_of.get(lname) in exclude:
             excluded.append(lname)
             continue
         path, is_bn = _map_layer(lname)

@@ -114,6 +114,68 @@ def test_multiview_add_training_losses():
         assert v >= 0, name
 
 
+def test_const_span_proposals_match_bruteforce_topk():
+    """End-to-end check of the split top-k layout assumption: on a real
+    forward pass with zeroed levels, (a) the folded RPN's scores in each
+    zeroed span must be k-periodic constants (one per ratio slot — NOT
+    one flat constant), and (b) the detector's proposals must equal
+    generate_proposals recomputed with plain lax.top_k (no const_spans)
+    on the same RPN outputs."""
+    from mulit_view_object_detection_tpu.ops.anchors import (
+        compute_backbone_shapes, get_anchors)
+    from mulit_view_object_detection_tpu.ops.proposals import (
+        generate_proposals)
+
+    class C(TinyBase):
+        NUM_VIEWS = 2
+        GRID_REAS = "add"
+        IMAGES_PER_GPU = 1
+    cfg = C()
+    assert tuple(cfg.ZERO_PG_LEVELS) == (0, 1)
+    model = MaskRCNN(cfg)
+    batch = {kk: jnp.asarray(v)
+             for kk, v in make_dummy_batch(cfg, training=False).items()}
+    rngs = {"params": jax.random.PRNGKey(0),
+            "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, batch, training=False)
+    # fresh init has zero conv biases -> the zeroed levels' per-ratio
+    # constants all coincide at 0.5 and nothing discriminates; set
+    # distinct per-slot biases like a trained model has
+    k = len(cfg.RPN_ANCHOR_RATIOS)
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    # distinct per-slot (bg, fg) logit GAPS -> distinct fg probabilities
+    variables["params"]["rpn"]["rpn_class_raw"]["bias"] = np.array(
+        [0.0, 0.1, 0.0, 0.5, 0.0, 2.0][:2 * k], np.float32)
+    out = model.apply(variables, batch, training=False,
+                      rngs={"sampling": jax.random.PRNGKey(3),
+                            "dropout": jax.random.PRNGKey(4)})
+
+    probs = np.asarray(out["rpn_probs"])
+    shapes = compute_backbone_shapes(cfg, cfg.IMAGE_SHAPE)
+    counts = [int(h * w * k) for h, w in shapes[:5]]
+    # (a) zeroed spans are k-periodic with k DISTINCT constants
+    off = 0
+    for li, n_l in enumerate(counts):
+        span = probs[0, off:off + n_l, 1]
+        if li in cfg.ZERO_PG_LEVELS:
+            np.testing.assert_array_equal(
+                span, np.tile(span[:k], n_l // k))
+            assert len(set(span[:k].tolist())) == k  # distinct per slot
+        off += n_l
+    # (b) proposals == brute-force top-k path on the same RPN outputs
+    anchors = get_anchors(cfg, cfg.IMAGE_SHAPE)
+    brute = generate_proposals(
+        jnp.asarray(out["rpn_probs"]), jnp.asarray(out["rpn_bbox"]),
+        jnp.asarray(anchors, jnp.float32),
+        proposal_count=cfg.POST_NMS_ROIS_INFERENCE,
+        nms_threshold=cfg.RPN_NMS_THRESHOLD,
+        pre_nms_limit=cfg.PRE_NMS_LIMIT,
+        bbox_std_dev=np.asarray(cfg.RPN_BBOX_STD_DEV))
+    np.testing.assert_array_equal(np.asarray(out["proposals"]),
+                                  np.asarray(brute))
+
+
 def test_vanilla_and_transformer_paths():
     class CV(TinyBase):
         NUM_VIEWS = 2

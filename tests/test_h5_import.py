@@ -398,6 +398,21 @@ def test_h5_import_exclude(tmp_path):
         np.asarray(new_params["backbone"]["conv1"]["kernel"]),
         np.asarray(params["backbone"]["conv1"]["kernel"]))
 
+    # exclude by the SAVED (outer) name: "rpn_model" is the nested
+    # submodel the reference excludes as one unit; its inner layers
+    # (rpn_conv_shared etc.) must all stay untouched
+    new_params2, _, report2 = load_h5_weights(
+        path, params, variables["batch_stats"], exclude=["rpn_model"])
+    assert any(l.startswith("rpn_") for l in report2["excluded"]), \
+        report2["excluded"]
+    for lname in ("rpn_conv_shared", "rpn_class_raw", "rpn_bbox_pred"):
+        np.testing.assert_array_equal(
+            np.asarray(new_params2["rpn"][lname]["kernel"]),
+            np.asarray(params["rpn"][lname]["kernel"]))
+    assert not np.array_equal(
+        np.asarray(new_params2["backbone"]["conv1"]["kernel"]),
+        np.asarray(params["backbone"]["conv1"]["kernel"]))
+
 
 @pytest.mark.slow
 def test_coco_h5_end_to_end_detect_1024(tmp_path):

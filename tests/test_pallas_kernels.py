@@ -197,3 +197,32 @@ def test_unproject_fused_matches_plain(rng):
         jnp.asarray(feats), jnp.asarray(Rcam), jnp.asarray(Kmat),
         (64, 64), jnp.asarray(grid_pts), gs, relu=True))
     np.testing.assert_allclose(fused, expect, atol=1e-5)
+
+
+def test_unproject_fused_three_views_auto_tile(rng):
+    """V=3 with tile=None: the auto tile divides by v and must stay a
+    multiple of 128 (4096//3 = 1365 used to trip the lane assertion) —
+    and the result must still match the plain path."""
+    from mulit_view_object_detection_tpu.kernels.unproject_pallas import (
+        unproject_features_pallas_fused)
+
+    cfg = VoxCfg()
+    b, v, fh, fw, c = 1, 3, 8, 8, 4
+    feats = (rng.rand(b, v, fh, fw, c) - 0.5).astype(np.float32)
+    Rcam = identity_pose(b, v)
+    Rcam[:, 1, 0, 3] = 0.3
+    Rcam[:, 2, 1, 3] = -0.2
+    Kmat = simple_K()[None]
+    grid_pts = voxel_grid_points(cfg)
+    gs = (cfg.nvox, cfg.nvox, cfg.nvox_z)
+
+    plain = np.asarray(unproject_features(
+        jnp.asarray(feats), jnp.asarray(Rcam), jnp.asarray(Kmat),
+        (64, 64), jnp.asarray(grid_pts), gs))
+    expect = plain.transpose(0, 2, 3, 4, 1, 5).reshape(
+        b, gs[0], gs[1], gs[2], v * c)
+
+    fused = np.asarray(unproject_features_pallas_fused(
+        jnp.asarray(feats), jnp.asarray(Rcam), jnp.asarray(Kmat),
+        (64, 64), jnp.asarray(grid_pts), gs, relu=False, tile=None))
+    np.testing.assert_allclose(fused, expect, atol=1e-5)

@@ -159,13 +159,49 @@ def test_stable_topk_with_const_spans_matches_full_topk(rng):
     scores[200:260] = 0.25
     scores[300] = 0.5        # exact tie with the first span's constant
     scores[310] = 0.25
-    const_spans = ((0, 150), (200, 60))
+    const_spans = ((0, 150, 1), (200, 60, 1))
 
     ref_v, ref_i = jax.lax.top_k(jnp.asarray(scores), k)
     got_v, got_i = _stable_topk_with_const_spans(
         jnp.asarray(scores), k, const_spans, a_total)
     np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
     np.testing.assert_array_equal(np.asarray(ref_v), np.asarray(got_v))
+
+
+def test_stable_topk_periodic_const_spans(rng):
+    """The folded RPN tiles k DISTINCT per-ratio constants over a zeroed
+    level (detector.py folds on a 1x1 tile -> [B, k, 2], tiled over
+    cells), so a constant span's scores repeat with period k, NOT as one
+    flat constant. The split top-k must still match lax.top_k
+    bit-for-bit — this is the regression test for the span-assumed-flat
+    bug (the old code read only scores[start] and mislabeled/misordered
+    the other ratio slots)."""
+    import jax.numpy as jnp
+    from mulit_view_object_detection_tpu.ops.proposals import (
+        _stable_topk_with_const_spans)
+
+    a_total, k, period = 500, 80, 3
+    scores = rng.rand(a_total).astype(np.float32)
+    # span 1: period-3 constants with the HIGHEST value NOT at residue 0
+    scores[0:150] = np.tile(np.array([0.1, 0.9, 0.2], np.float32), 50)
+    # span 2: period-3 constants, one residue tying span 1's top value
+    scores[200:290] = np.tile(np.array([0.9, 0.05, 0.4], np.float32), 30)
+    # a real anchor tying the constants too
+    scores[400] = 0.9
+    const_spans = ((0, 150, period), (200, 90, period))
+
+    ref_v, ref_i = jax.lax.top_k(jnp.asarray(scores), k)
+    got_v, got_i = _stable_topk_with_const_spans(
+        jnp.asarray(scores), k, const_spans, a_total)
+    np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
+    np.testing.assert_array_equal(np.asarray(ref_v), np.asarray(got_v))
+    # span sizes that don't divide the period must also be exact
+    got_v2, got_i2 = _stable_topk_with_const_spans(
+        jnp.asarray(scores[:491]), k, ((0, 150, period), (200, 89, period)),
+        491)
+    ref_v2, ref_i2 = jax.lax.top_k(jnp.asarray(scores[:491]), k)
+    np.testing.assert_array_equal(np.asarray(ref_i2), np.asarray(got_i2))
+    np.testing.assert_array_equal(np.asarray(ref_v2), np.asarray(got_v2))
 
 
 def test_generate_proposals_const_spans_equivalent(rng):
@@ -178,7 +214,8 @@ def test_generate_proposals_const_spans_equivalent(rng):
     anchors = np.sort(rng.rand(a, 4).astype(np.float32), axis=1)
     anchors = anchors[:, [0, 2, 1, 3]] * 0.9
     probs = rng.rand(2, a, 2).astype(np.float32)
-    probs[:, :96, 1] = 0.31          # constant span (a "zeroed level")
+    # period-3 constant span (a "zeroed level"): one constant per ratio
+    probs[:, :96, 1] = np.tile(np.array([0.31, 0.62, 0.17], np.float32), 32)
     deltas = (rng.randn(2, a, 4) * 0.05).astype(np.float32)
 
     kw = dict(proposal_count=16, nms_threshold=0.7, pre_nms_limit=64,
@@ -188,5 +225,5 @@ def test_generate_proposals_const_spans_equivalent(rng):
         **kw))
     got = np.asarray(generate_proposals(
         jnp.asarray(probs), jnp.asarray(deltas), jnp.asarray(anchors),
-        const_spans=((0, 96),), **kw))
+        const_spans=((0, 96, 3),), **kw))
     np.testing.assert_array_equal(ref, got)

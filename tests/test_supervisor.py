@@ -77,3 +77,34 @@ def test_explicit_resume_not_duplicated(monkeypatch):
         "--", "--steps", "10", "--ckpt", "/tmp/x", "--resume"])
     assert rc == 0
     assert calls[1].count("--resume") == 1
+
+
+def test_warmup_segmented_restore_structure(tmp_path):
+    """Real segmented training with --warmup: every restart must restore
+    the checkpoint into an identically-structured optimizer state, even
+    across the LR-drop boundary. Pre-fix, --warmup built a
+    schedule-driven opt_state (with a count leaf) while the mid-loop
+    LR/10 swap saved a constant-LR one, so the segment after the drop
+    crashed in orbax restore. The drop is now folded into the warmup
+    schedule itself (absolute count space), keeping one structure for
+    the whole run."""
+    from tools import train_to_ap
+
+    ckpt = str(tmp_path / "ck")
+    common = [
+        "--image-size", "64", "--nvox", "8", "--samples", "2",
+        "--scenes", "2", "--grid-reas", "add", "--steps", "999",
+        "--until-step", "5", "--warmup", "1",       # drop at step 3
+        "--ckpt", ckpt, "--max-rss-gb", "0.001",    # exit 75 every step
+        "--smoke", "--skip-eval",
+    ]
+    # five 1-step segments (rss budget trips at the step-0 check), like
+    # the supervisor would run them
+    for seg in range(5):
+        argv = list(common) + (["--resume"] if seg else [])
+        with pytest.raises(SystemExit) as e:
+            train_to_ap.main(argv)
+        assert e.value.code == 75
+    # final segment: restored at step 5, nothing left to run
+    result = train_to_ap.main(list(common) + ["--resume"])
+    assert result["steps"] == 5

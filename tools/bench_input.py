@@ -20,6 +20,38 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from mulit_view_object_detection_tpu.config import Config  # noqa: E402
+
+
+class InputBenchConfig(Config):
+    """Module-level (hence spawn-picklable) bench config."""
+    NAME = "bench_input"
+    NUM_CLASSES = 23
+    BACKBONE = "resnet50"
+    MAX_GT_INSTANCES = 100
+    USE_MINI_MASK = True
+
+    def __init__(self, image_size, num_views, uint8):
+        self.NUM_VIEWS = num_views
+        self.IMAGE_MIN_DIM = image_size
+        self.IMAGE_MAX_DIM = image_size
+        self.UINT8_IMAGE_TRANSFER = uint8
+        super().__init__()
+
+
+class BenchBatchFn:
+    """Picklable make_fn: ProcessPrefetcher's spawn workers pickle the
+    callable, so a local closure over ds/cfg would crash at start()."""
+
+    def __init__(self, ds, cfg, aug):
+        self.ds, self.cfg, self.aug = ds, cfg, aug
+
+    def __call__(self, seed):
+        from mulit_view_object_detection_tpu.data.generator import (
+            make_batch)
+        return make_batch(self.ds, self.cfg, rnd_state=seed,
+                          augmentation=self.aug)
+
 
 def main(argv=None):
     p = argparse.ArgumentParser()
@@ -34,32 +66,17 @@ def main(argv=None):
                         "emit 4x smaller image buffers")
     args = p.parse_args(argv)
 
-    from mulit_view_object_detection_tpu.config import Config
     from mulit_view_object_detection_tpu.data import augment
     from mulit_view_object_detection_tpu.data.generator import (
-        BatchPrefetcher, ProcessPrefetcher, make_batch)
+        BatchPrefetcher, ProcessPrefetcher)
     from mulit_view_object_detection_tpu.data.synthetic import (
         SyntheticMultiViewDataset)
 
-    class InputBench(Config):
-        NAME = "bench_input"
-        NUM_CLASSES = 23
-        NUM_VIEWS = args.num_views
-        BACKBONE = "resnet50"
-        IMAGE_MIN_DIM = args.image_size
-        IMAGE_MAX_DIM = args.image_size
-        MAX_GT_INSTANCES = 100
-        USE_MINI_MASK = True
-        UINT8_IMAGE_TRANSFER = args.uint8
-
-    cfg = InputBench()
+    cfg = InputBenchConfig(args.image_size, args.num_views, args.uint8)
     ds = SyntheticMultiViewDataset(
         num_scenes=8, num_views=args.num_views,
         image_size=args.image_size, num_classes=4, seed=0)
-    aug = augment.Fliplr(0.5)
-
-    def make_fn(seed):
-        return make_batch(ds, cfg, rnd_state=seed, augmentation=aug)
+    make_fn = BenchBatchFn(ds, cfg, augment.Fliplr(0.5))
 
     for workers in args.workers:
         if args.mode == "process":

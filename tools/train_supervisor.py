@@ -20,6 +20,7 @@ restart costs seconds, not a recompile.
 from __future__ import annotations
 
 import argparse
+import os
 import subprocess
 import sys
 
@@ -36,7 +37,9 @@ def main(argv=None):
         parser.error("train_to_ap args must include --ckpt "
                      "(the restart contract is checkpoint-based)")
 
-    base = [sys.executable, "tools/train_to_ap.py", *child_args,
+    train_to_ap = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "train_to_ap.py")
+    base = [sys.executable, train_to_ap, *child_args,
             "--max-rss-gb", str(args.max_rss_gb)]
     for attempt in range(args.max_restarts + 1):
         cmd = list(base)

@@ -111,6 +111,9 @@ def main(argv=None):
     parser.add_argument("--out", default=None, help="write JSON here")
     parser.add_argument("--smoke", action="store_true",
                         help="CPU smoke: no AP threshold enforced")
+    parser.add_argument("--skip-eval", action="store_true",
+                        help="skip the final AP evaluation (training-"
+                             "contract tests / partial segments)")
     parser.add_argument("--diagnostics", action="store_true",
                         help="record per-loss curves + box-vs-mask AP + "
                              "RPN proposal recall (plateau root-causing)")
@@ -383,9 +386,25 @@ def main(argv=None):
     history = []
     loss_history = []
     if args.warmup:
-        # ONE schedule-driven tx (a per-step tx swap would retrace jit)
+        # ONE schedule-driven tx (a per-step tx swap would retrace jit).
+        # The stage-style LR/10 drop is folded into the SAME schedule:
+        # its count lives in opt_state (checkpointed), so schedule
+        # position is absolute across supervisor segments, and the
+        # opt_state pytree structure never changes mid-run — a mid-loop
+        # swap to a constant-LR tx would save a structurally different
+        # opt_state and break restore in the next --warmup segment.
         import optax
         sched = optax.linear_schedule(0.0, cfg.LEARNING_RATE, args.warmup)
+        if args.until_step:
+            abs_drop = args.lr_drop if args.lr_drop is not None else 0.75
+            drop_step = int(args.until_step * abs_drop) if abs_drop else 0
+        else:
+            drop_step = int(args.steps * lr_drop) if lr_drop else 0
+        if drop_step > 0:
+            sched = optax.join_schedules(
+                [sched,
+                 optax.constant_schedule(cfg.LEARNING_RATE / 10)],
+                [drop_step])
         tx = make_optimizer(sched, cfg.LEARNING_MOMENTUM,
                             cfg.GRADIENT_CLIP_NORM)
         state = state.replace(tx=tx, opt_state=tx.init(state.params))
@@ -412,7 +431,9 @@ def main(argv=None):
         if drop_at < 0 and abs_drop:
             drop_at = 0  # restored past the boundary: drop immediately
     for step in range(0 if args.eval_only else n_steps):
-        if step == drop_at:   # stage-style fine-tune at LR/10
+        if step == drop_at and not args.warmup:
+            # stage-style fine-tune at LR/10 (warmup mode folds the drop
+            # into its schedule instead — see above)
             tx = make_optimizer(cfg.LEARNING_RATE / 10,
                                 cfg.LEARNING_MOMENTUM,
                                 cfg.GRADIENT_CLIP_NORM)
@@ -460,7 +481,7 @@ def main(argv=None):
             save_checkpoint)
         save_checkpoint(args.ckpt, state, step=start_step + n_steps)
         print(f"checkpoint saved to {args.ckpt}", flush=True)
-    ap = evaluate(state)
+    ap = -1.0 if args.skip_eval else evaluate(state)
     diag = None
     if args.diagnostics and not with_depth:
         diag = diagnose(state)
@@ -495,7 +516,7 @@ def main(argv=None):
     if args.out:
         with open(args.out, "w") as f:
             json.dump(result, f, indent=1)
-    if not args.smoke:
+    if not args.smoke and not args.skip_eval:
         assert ap >= args.ap_thresh, (
             f"mask AP@0.5 = {ap:.4f} < {args.ap_thresh} target")
     return result
