@@ -241,6 +241,15 @@ class Config:
             assert self.XFORMER_D_MODEL % self.XFORMER_NUM_HEADS == 0, (
                 f"XFORMER_D_MODEL ({self.XFORMER_D_MODEL}) must be "
                 f"divisible by XFORMER_NUM_HEADS ({self.XFORMER_NUM_HEADS})")
+            # the depth-conditioned lift has exactly ONE measured depth
+            # per ray (unproject_rays): samples > 1 would only duplicate
+            # every token `samples` times, multiplying attention cost
+            # with zero information gain. The reference's transformer
+            # config runs samples=1 (interior_transformer.py:378-407).
+            assert self.samples == 1, (
+                f"TRANSFORMER fusion requires samples == 1 "
+                f"(got {self.samples}): depth-conditioned tokens have "
+                f"one depth per ray")
 
     def to_dict(self):
         return {

@@ -55,17 +55,25 @@ def _fwd_kernel(iz_ref, x_ref, y_ref, slice_ref, o_ref, *, nx, ny):
 
 
 def _bwd_kernel(iz_ref, x_ref, y_ref, g_ref, dg_ref, *, nx, ny, n_s):
+    """iz_ref is [2, S]: row 0 = block-map indices (invalid samples
+    remapped to the previous valid slice so block visits stay
+    consecutive), row 1 = the original indices (-1 = invalid) for the
+    gradient mask. Splitting the two roles is what makes a trailing
+    invalid sample harmless: with a single row, -1 maps to block 0 and
+    the change-detect below would re-zero slice 0's already-accumulated
+    gradient."""
     q = dg_ref.shape[2]
     s = pl.program_id(1)
     tile = pl.program_id(2)
 
-    # Output revisiting: iz is nondecreasing in s (sorted z_samples), so all
-    # visits to one z-slice block are consecutive. Zero the block on its
-    # FIRST visit (s==0, or the slice index just changed).
+    # Output revisiting: the block map is nondecreasing in s (sorted
+    # z_samples; invalid samples inherit the previous valid slice), so
+    # all visits to one z-slice block are consecutive. Zero the block on
+    # its FIRST visit (s==0, or the slice index just changed).
     first_visit = jnp.logical_and(
         tile == 0,
         jnp.logical_or(s == 0,
-                       iz_ref[s] != iz_ref[jnp.maximum(s - 1, 0)]))
+                       iz_ref[0, s] != iz_ref[0, jnp.maximum(s - 1, 0)]))
 
     @pl.when(first_visit)
     def _():
@@ -74,7 +82,7 @@ def _bwd_kernel(iz_ref, x_ref, y_ref, g_ref, dg_ref, *, nx, ny, n_s):
     ix = jnp.round(x_ref[0].reshape(-1)).astype(jnp.int32)
     iy = jnp.round(y_ref[0].reshape(-1)).astype(jnp.int32)
     t = ix.shape[0]
-    z_ok = (iz_ref[s] >= 0)
+    z_ok = (iz_ref[1, s] >= 0)
     valid = ((ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) & z_ok)
     idx = jnp.clip(ix, 0, nx - 1) * ny + jnp.clip(iy, 0, ny - 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (t, q), 1)
@@ -190,7 +198,20 @@ def _reproj_bwd(iz, nx, ny, tile, res, g):
     rows = tile // 128
     xg = xg.reshape(b, s_d, n_pad // 128, 128)
     yg = yg.reshape(b, s_d, n_pad // 128, 128)
-    iz_arr = jnp.asarray(np.maximum(np.asarray(iz, np.int32), -1))
+    iz_np = np.maximum(np.asarray(iz, np.int32), -1)
+    # block map (row 0): invalid samples inherit the previous valid slice
+    # (leading invalids take the first valid one) so the out_spec never
+    # jumps back to block 0 and re-triggers the first-visit zeroing; their
+    # gradient rows are masked off via the original indices (row 1)
+    filled = iz_np.copy()
+    valid_vals = filled[filled >= 0]
+    last = int(valid_vals[0]) if valid_vals.size else 0
+    for i_, v_ in enumerate(filled):
+        if v_ >= 0:
+            last = int(v_)
+        else:
+            filled[i_] = last
+    iz_arr = jnp.asarray(np.stack([filled, iz_np]))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -202,7 +223,7 @@ def _reproj_bwd(iz, nx, ny, tile, res, g):
                          lambda b_, s_, t_, iz_: (b_, s_, t_, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, q, c),
-                               lambda b_, s_, t_, iz_: (b_, jnp.maximum(iz_[s_], 0), 0, 0)),
+                               lambda b_, s_, t_, iz_: (b_, iz_[0, s_], 0, 0)),
     )
     dg = pl.pallas_call(
         functools.partial(_bwd_kernel, nx=nx, ny=ny, n_s=s_d),

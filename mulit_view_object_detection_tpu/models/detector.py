@@ -109,8 +109,6 @@ class MaskRCNN(nn.Module):
             cfg.TOP_DOWN_PYRAMID_SIZE, post_relu=multiview, dtype=dtype,
             name="fpn")(c2, c3, c4, c5)
         levels = [p2, p3, p4, p5, p6]
-        strides = cfg.BACKBONE_STRIDES + [cfg.BACKBONE_STRIDES[-1] * 2]
-        strides = strides[:5]
         if multiview:
             levels = [p.reshape((b, v) + p.shape[1:]) for p in levels]
         else:
@@ -138,7 +136,10 @@ class MaskRCNN(nn.Module):
                 lh, lw = fmap.shape[1], fmap.shape[2]
                 tile = jnp.zeros((b, 1, 1, fmap.shape[-1]), dtype)
                 lg, pr, dl = rpn(tile)            # [B, k, ...] constants
-                reps = lh * lw
+                # cell count of the SAME-padded strided RPN conv (and of
+                # the anchor lattice): ceil(dim / anchor_stride)
+                astr = cfg.RPN_ANCHOR_STRIDE
+                reps = (-(-lh // astr)) * (-(-lw // astr))
                 lg = jnp.tile(lg, (1, reps, 1))
                 pr = jnp.tile(pr, (1, reps, 1))
                 dl = jnp.tile(dl, (1, reps, 1))
@@ -325,6 +326,13 @@ class MaskRCNN(nn.Module):
             return self._fuse_views_cross_level(
                 batch, levels, image_shape, zero_levels, grid_pts,
                 grid_shape, method, use_pallas, fuse_layout, v, dtype)
+        # loop-invariant module flags, computed ONCE (train_bn_now is the
+        # same BN-mode predicate the backbone got; keeping a single copy
+        # prevents the backbone and fusion BN modes from desynchronizing)
+        remat = bool(getattr(cfg, "REMAT", False)) and training
+        Fusion = nn.remat(GridFusion) if remat else GridFusion
+        Collapse = nn.remat(DepthCollapse) if remat else DepthCollapse
+        fold_bn = bool(getattr(cfg, "FOLD_BN", False)) and not training
         out, zeros = [], set()
         for li, p in enumerate(levels):
             if li in zero_levels:                 # PG2/PG3 memory cap
@@ -338,20 +346,13 @@ class MaskRCNN(nn.Module):
             # Under REMAT the voxel-space fusion/collapse activations (the
             # largest tensors in the graph, [B,V,nvox^3,C]-scale) are
             # recomputed in the backward pass instead of read from HBM.
-            remat = bool(getattr(cfg, "REMAT", False)) and training
-            Fusion = nn.remat(GridFusion) if remat else GridFusion
-            Collapse = nn.remat(DepthCollapse) if remat else DepthCollapse
-            fold_bn = (bool(getattr(cfg, "FOLD_BN", False))
-                       and not training)
-            train_bn = bool(cfg.TRAIN_BN) and (
-                training or bool(getattr(cfg, "BN_EVAL_BATCH_STATS", False)))
             fusion = Fusion(cfg.GRID_REAS, cfg.TOP_DOWN_PYRAMID_SIZE, v,
-                            train_bn, dtype,
+                            train_bn_now, dtype,
                             fold_bn, inputs_fused=fuse_layout,
                             name=f"grid_fusion_p{li + 2}")
             collapse = Collapse(
                 cfg.GRID_REAS, cfg.TOP_DOWN_PYRAMID_SIZE, cfg.samples,
-                train_bn, dtype,
+                train_bn_now, dtype,
                 fold_bn, name=f"depth_collapse_p{li + 2}")
             if fuse_layout:
                 vox = unproject_features_pallas_fused(

@@ -71,8 +71,14 @@ _ANCHOR_CACHE = {}
 def get_anchors(config, image_shape):
     """Normalized anchor pyramid for an image shape, cached
     (model.py:2610-2630 `get_anchors`)."""
-    key = (id(type(config)), config.NAME, tuple(image_shape),
-           tuple(config.RPN_ANCHOR_SCALES))
+    # key on every input that shapes the pyramid — two configs sharing a
+    # class/NAME but differing in ratios/strides must not share anchors
+    key = (config.NAME, tuple(image_shape),
+           tuple(config.RPN_ANCHOR_SCALES),
+           tuple(config.RPN_ANCHOR_RATIOS),
+           tuple(config.BACKBONE_STRIDES),
+           int(config.RPN_ANCHOR_STRIDE),
+           str(config.BACKBONE))
     if key not in _ANCHOR_CACHE:
         backbone_shapes = compute_backbone_shapes(config, image_shape)
         a = generate_pyramid_anchors(

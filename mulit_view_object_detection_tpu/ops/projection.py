@@ -219,8 +219,16 @@ def project_grid(grid, Kmat, image_shape, proj_size, samples, config,
         iz = jnp.round(gz).astype(jnp.int32)
         out = gather(ix, iy, iz)
     elif method == "trilinear":
-        # sample at voxel centers: center of cell i sits at index i + 0.5
-        fx, fy, fz = gx - 0.5, gy - 0.5, gz - 0.5
+        # sample at voxel centers. The x/y axes normalize over
+        # [vmin, vmax], so cell i's center maps to index i + 0.5 and
+        # needs the -0.5 shift; the z axis (faithful reference
+        # convention, model_multi.py:292-298) normalizes over
+        # [vmin_z + vsize_z/2, vmax_z] — cell centers already land on
+        # (approximately) integer indices, exactly like the nearest
+        # path's rounding assumes, so z takes NO extra shift (an extra
+        # -0.5 would depth-shift every sample by half a voxel and halve
+        # the first z-slice's weight).
+        fx, fy, fz = gx - 0.5, gy - 0.5, gz
         x0 = jnp.floor(fx).astype(jnp.int32)
         y0 = jnp.floor(fy).astype(jnp.int32)
         z0 = jnp.floor(fz).astype(jnp.int32)
@@ -266,10 +274,16 @@ def unproject_rays(feats, Rcam, Kmat, depth, image_shape, samples=1):
     Kinv = jnp.linalg.inv(Kmat * rsz)
     rays = jnp.einsum("bij,jn->bin", Kinv, pix)  # [B, 3, npix], z == 1
 
+    if samples != 1:
+        # there is exactly one measured depth per ray: samples > 1 could
+        # only replicate every token (Config.validate enforces samples=1
+        # for TRANSFORMER; the reference transformer config agrees,
+        # interior_transformer.py:378-407)
+        raise ValueError(
+            f"unproject_rays: samples must be 1 (got {samples}); the "
+            f"depth-conditioned lift has one measured depth per ray")
     rho = depth.reshape(b, v, 1, 1, npix)        # [B, V, 1, 1, npix]
     Xc = rays[:, None, None, :, :] * rho         # [B, V, S=1, 3, npix]
-    if samples > 1:
-        Xc = jnp.broadcast_to(Xc, (b, v, samples, 3, npix))
     ones = jnp.ones((b, v, samples, 1, npix))
     Xc_h = jnp.concatenate([Xc, ones], axis=-2)  # [B, V, S, 4, npix]
     Xw = jnp.einsum("bvij,bvsjn->bvsin", Rcam, Xc_h)  # [B, V, S, 3, npix]

@@ -176,6 +176,24 @@ def test_const_span_proposals_match_bruteforce_topk():
                                   np.asarray(brute))
 
 
+def test_rpn_anchor_stride_two_alignment():
+    """RPN_ANCHOR_STRIDE=2: the folded-RPN tiling on zeroed levels must
+    produce the strided conv's cell count (ceil(dim/stride)), keeping
+    rpn outputs aligned with the anchor lattice — the old reps = lh*lw
+    assumed stride 1 and silently misaligned scores with anchors."""
+    from mulit_view_object_detection_tpu.ops.anchors import get_anchors
+
+    class C(TinyBase):
+        NUM_VIEWS = 2
+        GRID_REAS = "add"
+        RPN_ANCHOR_STRIDE = 2
+    cfg = C()
+    _, out = _init_and_run(cfg, training=False)
+    anchors = get_anchors(cfg, cfg.IMAGE_SHAPE)
+    assert out["rpn_probs"].shape[1] == anchors.shape[0]
+    assert np.isfinite(np.asarray(out["detections"])).all()
+
+
 def test_vanilla_and_transformer_paths():
     class CV(TinyBase):
         NUM_VIEWS = 2

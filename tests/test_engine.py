@@ -158,11 +158,21 @@ def test_transformer_config_validation():
             XFORMER_D_MODEL = 16
         Bad3()
 
+    with pytest.raises(AssertionError, match="samples == 1"):
+        class BadS(EngineCfg):
+            TRANSFORMER = True
+            TOP_DOWN_PYRAMID_SIZE = 18
+            XFORMER_D_MODEL = 18
+            XFORMER_NUM_HEADS = 2
+            samples = 4       # depth-conditioned lift: one depth per ray
+        BadS()
+
     class Good(EngineCfg):
         TRANSFORMER = True
         TOP_DOWN_PYRAMID_SIZE = 18
         XFORMER_D_MODEL = 18
         XFORMER_NUM_HEADS = 2
+        samples = 1
     Good()
 
 

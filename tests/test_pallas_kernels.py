@@ -110,6 +110,33 @@ def test_project_grid_pallas_grad(rng):
     np.testing.assert_allclose(gp, gx, atol=1e-4)
 
 
+def test_zslice_gather_grad_with_trailing_invalid(rng):
+    """The public zslice_gather contract allows iz entries of -1
+    (out-of-grid samples). A -1 AFTER valid samples used to remap to
+    block 0 in the backward out_spec and re-trigger the first-visit
+    zeroing, silently erasing z-slice 0's accumulated gradient. The
+    invalid samples contribute nothing, so the gradient must equal the
+    same call without them."""
+    from mulit_view_object_detection_tpu.kernels.reproject_pallas import (
+        zslice_gather)
+
+    b, nz, nx, ny, c = 1, 4, 8, 16, 2   # q = nx*ny = 128 (lane-aligned)
+    npix = 128
+    grid_z = rng.rand(b, nz, nx * ny, c).astype(np.float32)
+    xg = (rng.rand(b, 3, npix) * nx).astype(np.float32)
+    yg = (rng.rand(b, 3, npix) * ny).astype(np.float32)
+
+    def loss(g, iz, s_d):
+        out = zslice_gather(g, jnp.asarray(xg[:, :s_d]),
+                            jnp.asarray(yg[:, :s_d]), iz, nx, ny, 128)
+        return jnp.sum(out ** 2)
+
+    g_with = np.asarray(jax.grad(loss)(jnp.asarray(grid_z), (0, 1, -1), 3))
+    g_ref = np.asarray(jax.grad(loss)(jnp.asarray(grid_z), (0, 1), 2))
+    assert np.abs(g_ref[0, 0]).max() > 0  # slice 0 really has signal
+    np.testing.assert_allclose(g_with, g_ref, atol=1e-5)
+
+
 def test_unproject_pallas_matches_reference(rng):
     cfg = VoxCfg()
     K = simple_K()

@@ -156,6 +156,31 @@ def test_project_grid_trilinear_runs():
     assert out.max() <= grid.max() + 1e-5  # interpolation can't overshoot
 
 
+def test_project_grid_trilinear_z_centers_full_weight():
+    """The z axis normalizes over [vmin_z + vsize_z/2, vmax_z] (faithful
+    reference convention), so depth-sample points at z-cell centers map
+    to INTEGER gz — the trilinear blend must put full weight on that
+    slice. A spurious extra -0.5 z shift (the original trilinear code)
+    half-blends into slice z-1 and returns HALF the stored value at the
+    first depth sample."""
+    cfg = VoxCfg()
+    K = simple_K()
+    # constant over x/y so x/y interpolation is neutral; only slice z=0 lit
+    grid = np.zeros((1, 8, 8, 8, 1), dtype=np.float32)
+    grid[:, :, :, 0, 0] = 7.0
+    out = np.asarray(project_grid(jnp.asarray(grid), jnp.asarray(K[None]),
+                                  (64, 64), 8, cfg.samples, cfg,
+                                  method="trilinear"))
+    # first depth sample (z = 1.25 = slice-0 center): full value, and
+    # identical to the nearest path at this exact-center geometry
+    assert abs(out[0, 0, 4, 4, 0] - 7.0) < 1e-5, out[0, 0, 4, 4, 0]
+    near = np.asarray(project_grid(jnp.asarray(grid), jnp.asarray(K[None]),
+                                   (64, 64), 8, cfg.samples, cfg,
+                                   method="nearest"))
+    np.testing.assert_allclose(out[0, 0, 4, 4], near[0, 0, 4, 4],
+                               atol=1e-5)
+
+
 def test_unproject_rays_identity(rng):
     """Identity pose, constant depth d: token world position for pixel
     (y, x) is K^-1 (x+.5, y+.5, 1) * d."""
