@@ -118,6 +118,11 @@ class MaskRCNN:
             restored = restored.replace(params=params)
         self._state = restored
         self._infer_step = None
+        # resume the epoch count from the checkpoint — the reference calls
+        # set_log_dir(filepath) inside load_weights (model_multi.py:2642)
+        # so a subsequent train(epochs=N) CONTINUES instead of re-running
+        # completed stages
+        self.set_log_dir(filepath)
         return self
 
     def save_weights(self, filepath, step=None):
@@ -166,17 +171,22 @@ class MaskRCNN:
                 min_scale=self.config.IMAGE_MIN_SCALE,
                 max_dim=self.config.IMAGE_MAX_DIM,
                 mode=self.config.IMAGE_RESIZE_MODE)
-            if not getattr(self.config, "UINT8_IMAGE_TRANSFER", False):
-                molded_image = mold_image(molded_image,
-                                          self.config.MEAN_PIXEL)
-            # else: raw resized uint8 — the device graph de-molds
-            # (detector.py intake), shipping 4x fewer bytes per request
             image_meta = compose_image_meta(
                 0, image.shape, molded_image.shape, window, scale,
                 np.zeros([self.config.NUM_CLASSES], dtype=np.int32))
             molded_images.append(molded_image)
             image_metas.append(image_meta)
             windows.append(window)
+        # The uint8 fast path (raw resized pixels; device graph de-molds,
+        # 4x fewer bytes per request) is a WHOLE-BATCH decision: the
+        # device keys de-molding on the batch dtype, so a float input in
+        # the list (post-augmentation etc.) would otherwise stack into a
+        # float batch carrying raw 0-255 pixels straight to the network.
+        uint8_ok = (getattr(self.config, "UINT8_IMAGE_TRANSFER", False)
+                    and all(m.dtype == np.uint8 for m in molded_images))
+        if not uint8_ok:
+            molded_images = [mold_image(m, self.config.MEAN_PIXEL)
+                             for m in molded_images]
         return (np.stack(molded_images), np.stack(image_metas),
                 np.stack(windows))
 

@@ -92,8 +92,12 @@ def pixel_anchors(config, image_shape):
     """Pixel-space anchor pyramid, cached per (config geometry, image
     shape) — the reference caches this too (model_multi.py:2139-2146);
     regenerating ~100k anchors per sample would starve the device."""
+    # BACKBONE is part of the key: compute_backbone_shapes depends on it
+    # (callable backbones / COMPUTE_BACKBONE_SHAPE overrides), and two
+    # configs differing only there must not share anchors
     key = (tuple(config.RPN_ANCHOR_SCALES), tuple(config.RPN_ANCHOR_RATIOS),
            tuple(config.BACKBONE_STRIDES), config.RPN_ANCHOR_STRIDE,
+           str(config.BACKBONE),
            tuple(np.asarray(image_shape).ravel()[:2]))
     if key not in _ANCHOR_CACHE:
         backbone_shapes = compute_backbone_shapes(config, image_shape)
@@ -121,6 +125,12 @@ def make_sample(dataset, config, view_ids, rnd_state=None,
     the projection geometry and are left untouched."""
     cfg = config
     v = len(view_ids)
+    if v != cfg.NUM_VIEWS:
+        # a short list would stack into a ragged batch (or leave zero
+        # views); raise inside make_batch's 5-failure tolerance instead
+        raise ValueError(
+            f"sample has {v} views, config.NUM_VIEWS={cfg.NUM_VIEWS} "
+            f"(sparse-view samples should be skipped by load_view)")
     hw = int(cfg.IMAGE_SHAPE[0])
     main_id = view_ids[0]
     rnd = np.random.RandomState(rnd_state) if rnd_state is not None else \
@@ -233,7 +243,16 @@ def make_batch(dataset, config, rnd_state=None, with_depth=False,
 
 class BatchPrefetcher:
     """Thread-pool batch prefetcher — keeps the device fed
-    (the TPU-native answer to fit_generator workers=1)."""
+    (the TPU-native answer to fit_generator workers=1).
+
+    Failure contract: `make_fn` (make_batch) already absorbs transient
+    per-sample errors and raises only after 5 CONSECUTIVE failures
+    (reference model_multi.py:2284-2293) — a systematic problem. Such an
+    exception is terminal: the worker pushes it through the queue and
+    the consumer re-raises as PrefetchError instead of blocking forever
+    on an empty queue while workers silently spin."""
+
+    _ERROR = object()   # queue sentinel, paired with self._error_tb
 
     def __init__(self, make_fn, num_threads=4, prefetch=8, seed=0):
         self._queue = queue.Queue(maxsize=prefetch)
@@ -241,6 +260,7 @@ class BatchPrefetcher:
         self._seed = seed
         self._seed_lock = threading.Lock()
         self._make_fn = make_fn
+        self._error_tb = None
         self._threads = [
             threading.Thread(target=self._worker, daemon=True)
             for _ in range(num_threads)]
@@ -256,21 +276,30 @@ class BatchPrefetcher:
         while not self._stop.is_set():
             try:
                 batch = self._make_fn(self._next_seed())
-            except Exception:  # pragma: no cover
-                log.exception("prefetch worker failed")
-                continue
+            except Exception:
+                log.exception("prefetch worker failed (terminal)")
+                import traceback
+                self._error_tb = traceback.format_exc()
+                batch = self._ERROR
             while not self._stop.is_set():
                 try:
                     self._queue.put(batch, timeout=0.5)
                     break
                 except queue.Full:
                     continue
+            if batch is self._ERROR:
+                return
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        return self._queue.get()
+        item = self._queue.get()
+        if item is self._ERROR:
+            self._stop.set()
+            raise PrefetchError(
+                "prefetch worker failed:\n" + (self._error_tb or ""))
+        return item
 
     def close(self):
         self._stop.set()

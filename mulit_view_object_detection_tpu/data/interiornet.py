@@ -120,12 +120,20 @@ class InteriorNetDataset(Dataset):
 
     @staticmethod
     def _pose_to_R(row, is_hd7):
-        """Raw pose row -> [R|t] 3x4 cam->world (interior_multi.py:188-192)."""
+        """Raw pose row -> [R|t] 3x4 cam->world (interior_multi.py:188-192).
+
+        HD7 translation: the reference uses `vec[1:4]` (interior_multi.py:192)
+        on the SAME timestamp-stripped row whose eye position its own
+        vec2rot reads as `vec[0:3]` — i.e. it stores (eye_y, eye_z,
+        lookat_x) as the camera center, a provable off-by-one that
+        garbles every HD7 camera pose. Fixed here: the camera center is
+        the eye, vals[0:3] (rotation is unchanged — the reference's was
+        already consistent with vals[0:3])."""
         vals = [float(x) for x in row]
         if is_hd7:
             return np.concatenate(
                 [vec2rot(np.array(vals)),
-                 np.array(vals[1:4]).reshape(3, 1)], axis=1)
+                 np.array(vals[0:3]).reshape(3, 1)], axis=1)
         x, y, z, qw, qx, qy, qz = vals[:7]
         return np.concatenate(
             [quat2rot([qw, qx, qy, qz]), np.array([[x], [y], [z]])], axis=1)
@@ -172,22 +180,29 @@ class InteriorNetDataset(Dataset):
     def load_view(self, n, main_image, rnd_state=None):
         """Pick n view ids (main first): HD1 = stride-5 temporal neighbors,
         HD7 = random among >=5 co-visible views (interior_multi.py:294-328).
-        Returns None when fewer than 5 views are available (HD7)."""
+        Returns None when the sample can't supply n views (sparse-view
+        samples are skipped, model_multi.py:2143-2146) — callers must not
+        get a SHORT list, which would crash batch stacking downstream."""
         max_views = 5
         rnd = np.random.RandomState(rnd_state)
         if self.hd_folder != "HD7":
             num_skip = 5
             secondary = np.asarray(self.view_map[main_image])
             image_ids = secondary[::-1][num_skip:n * num_skip:num_skip]
+            if image_ids.shape[0] < n - 1:   # scene shorter than the stride
+                return None
             out = [self.image_from_source_map["interior." + main_image]]
             for iid in image_ids:
                 out.append(self.image_from_source_map["interior." + iid])
             return out
         secondary = np.asarray(self.view_map[main_image])
-        if secondary.shape[0] < max_views:
+        # the reference draws max_views-1 = 4 candidates and slices [:n-1],
+        # silently capping NUM_VIEWS > 5 at five views; here the draw
+        # grows with n (identical random stream for n <= 5)
+        if secondary.shape[0] < max(max_views, n - 1):
             return None
-        views = rnd.choice(range(secondary.shape[0]), max_views - 1,
-                           replace=False)
+        views = rnd.choice(range(secondary.shape[0]),
+                           max(max_views - 1, n - 1), replace=False)
         image_ids = secondary[views][:n - 1]
         out = [self.image_from_source_map["interior." + main_image]]
         for iid in image_ids:

@@ -171,13 +171,19 @@ def anchor_gt_match(anchors, gt_boxes):
     return best_gt, best_iou, forced.astype(bool)
 
 
-def extract_bboxes(masks):
-    """Tight boxes from [H, W, N] or [N, H, W] bool masks -> [N, 4] int32."""
+def extract_bboxes(masks, layout="HWN"):
+    """Tight boxes from bool masks -> [N, 4] int32.
+
+    `layout` is EXPLICIT ('HWN' = reference utils.py:293 convention,
+    'NHW' = instance-major): a shape heuristic would misread e.g. 100
+    mini-masks of 56x56 passed as [100, 56, 56]."""
     lib = _load()
-    if masks.ndim == 3 and masks.shape[-1] < masks.shape[0]:
+    if layout == "HWN":
         nhw = np.ascontiguousarray(np.transpose(masks, (2, 0, 1)))
-    else:
+    elif layout == "NHW":
         nhw = np.ascontiguousarray(masks)
+    else:
+        raise ValueError(f"layout must be 'HWN' or 'NHW', got {layout!r}")
     n, h, w = nhw.shape
     if lib is not None and n:
         m8 = nhw.astype(np.uint8)

@@ -94,11 +94,18 @@ def shard_batch(batch, shardings):
 
 def make_parallel_train_step(train_step, mesh, view_sharding=False):
     """Wrap a jitted train step with mesh shardings: state replicated, batch
-    data(+view)-sharded. XLA SPMD handles the collectives."""
+    data(+view)-sharded. XLA SPMD handles the collectives.
+
+    The state really is placed: a host-resident (or differently-placed)
+    state is replicated over the mesh on the first call — device-resident
+    replicated states pass through device_put as a no-op — so the
+    documented contract holds without callers invoking replicate_state
+    themselves."""
     b_shard = batch_sharding(mesh, view_sharding)
     rep = replicated(mesh)
 
     def step(state, batch, rng):
+        state = jax.device_put(state, rep)
         batch = shard_batch(batch, b_shard)
         return train_step(state, batch, rng)
 

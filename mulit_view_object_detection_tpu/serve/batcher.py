@@ -73,6 +73,11 @@ class MicroBatcher:
         self._queue = queue.Queue()
         self._pending = []   # dispatcher-thread only: signature mismatches
         self._closed = threading.Event()
+        # serializes the closed-check+enqueue in submit() against close()
+        # setting the flag: without it a submit could pass the check, lose
+        # the CPU while close() drains the queue, then enqueue into a
+        # dead batcher — its future stranded forever
+        self._submit_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self._stats = {"requests": 0, "completed": 0, "batches": 0,
                        "padded_slots": 0, "latency_ms_sum": 0.0}
@@ -85,10 +90,11 @@ class MicroBatcher:
         """Enqueue one scene (views [V,H,W,3], Rcam [1,V,3,4],
         Kmat [1,3,3]); returns a Future resolving to the detect() result
         dict for this scene."""
-        if self._closed.is_set():
-            raise RuntimeError("MicroBatcher is closed")
         req = _Request(np.asarray(views), Rcam, Kmat, depths)
-        self._queue.put(req)
+        with self._submit_lock:
+            if self._closed.is_set():
+                raise RuntimeError("MicroBatcher is closed")
+            self._queue.put(req)
         with self._stats_lock:
             self._stats["requests"] += 1
         return req.future
@@ -106,7 +112,8 @@ class MicroBatcher:
         """Drain the queue, stop the dispatcher, fail late submits. Any
         request that raced past the closed check after the dispatcher
         exited is failed, not stranded."""
-        self._closed.set()
+        with self._submit_lock:     # no submit between its check and put
+            self._closed.set()
         self._thread.join(timeout=timeout)
         if self._thread.is_alive():   # still dispatching; don't race it
             return

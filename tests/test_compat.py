@@ -104,6 +104,10 @@ def test_save_load_weights(model, tmp_path):
     leaf_b = jax.tree_util.tree_leaves(state_before.params)[0]
     leaf_a = jax.tree_util.tree_leaves(model._state.params)[0]
     np.testing.assert_allclose(np.asarray(leaf_a), np.asarray(leaf_b))
+    # epoch bookkeeping resumes from the checkpoint (the reference calls
+    # set_log_dir(filepath) inside load_weights, model_multi.py:2642) so
+    # train(epochs=N) continues instead of re-running finished stages
+    assert model.epoch == 3
 
 
 def test_ancestor_name_search():
@@ -153,3 +157,24 @@ def test_detect_uint8_transfer_exactness(model):
     np.testing.assert_array_equal(r_f32["class_ids"], r_u8["class_ids"])
     np.testing.assert_array_equal(r_f32["scores"], r_u8["scores"])
     np.testing.assert_array_equal(r_f32["masks"], r_u8["masks"])
+
+
+def test_uint8_transfer_float_input_falls_back_to_host_mold(model):
+    """A float-dtype input under UINT8_IMAGE_TRANSFER cannot ride the
+    uint8 path (the device only de-molds uint8 batches) — mold_inputs
+    must mean-subtract on host instead of shipping raw 0-255 floats."""
+    img_u8 = np.random.randint(0, 255, (48, 64, 3)).astype(np.uint8)
+    img_f = img_u8.astype(np.float32)
+    model.config.UINT8_IMAGE_TRANSFER = True
+    try:
+        molded, _, _ = model.mold_inputs([img_f])
+        assert molded.dtype == np.float32
+        assert molded.min() < 0  # mean-subtracted, not raw pixels
+        # mixed batch: uint8 + float must ALSO fall back (one batch dtype)
+        mixed, _, _ = model.mold_inputs([img_u8, img_f])
+        assert mixed.dtype == np.float32 and mixed.min() < 0
+        # pure uint8 batch still rides the fast path
+        raw, _, _ = model.mold_inputs([img_u8])
+        assert raw.dtype == np.uint8
+    finally:
+        model.config.UINT8_IMAGE_TRANSFER = False

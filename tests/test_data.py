@@ -235,3 +235,73 @@ def test_process_prefetcher_detects_dead_workers():
                 next(iter(pf))
     finally:
         pf.close()
+
+
+def test_thread_prefetcher_propagates_terminal_failure():
+    """make_batch raises only after 5 consecutive failures (a systematic
+    problem); the thread prefetcher must surface that as PrefetchError
+    instead of retrying forever while the consumer blocks on an empty
+    queue."""
+    from mulit_view_object_detection_tpu.data.generator import (
+        BatchPrefetcher, PrefetchError)
+
+    pf = BatchPrefetcher(_always_failing_fn, num_threads=1, prefetch=2)
+    try:
+        with pytest.raises(PrefetchError, match="synthetic dataset"):
+            next(iter(pf))
+    finally:
+        pf.close()
+
+
+def test_interiornet_hd7_pose_translation_is_eye():
+    """HD7 [R|t]: t must be the camera EYE position vals[0:3] — the
+    reference stores vals[1:4] = (eye_y, eye_z, lookat_x)
+    (interior_multi.py:192), an off-by-one its own vec2rot disproves
+    (it reads the eye as vec[0:3]). Deliberate fix, documented."""
+    from mulit_view_object_detection_tpu.data.interiornet import (
+        InteriorNetDataset)
+    from mulit_view_object_detection_tpu.utils.pose import vec2rot
+
+    eye, lookat, up = [1.0, 2.0, 3.0], [4.0, 5.0, 6.0], [1.0, 2.0, 4.0]
+    row = [*eye, *lookat, *up]
+    R = InteriorNetDataset._pose_to_R([str(v) for v in row], is_hd7=True)
+    np.testing.assert_allclose(R[:, 3], eye)
+    np.testing.assert_allclose(R[:, :3], vec2rot(np.array(row)))
+    # HD1 quaternion path: translation is (x, y, z) of the visim row
+    q = [0.123, 0.456, 0.789, 1.0, 0.0, 0.0, 0.0]
+    Rq = InteriorNetDataset._pose_to_R([str(v) for v in q], is_hd7=False)
+    np.testing.assert_allclose(Rq[:, 3], q[:3])
+
+
+def test_interiornet_load_view_skips_short_scenes():
+    """load_view must return None (skip) rather than a SHORT view list —
+    a short list would stack into a ragged batch downstream."""
+    from mulit_view_object_detection_tpu.data.interiornet import (
+        InteriorNetDataset)
+
+    ds = InteriorNetDataset.__new__(InteriorNetDataset)
+    ds.hd_folder = "HD1"
+    ds.view_map = {"main": [f"v{i}" for i in range(8)]}   # only 1 neighbor
+    ds.image_from_source_map = {f"interior.v{i}": i for i in range(8)}
+    ds.image_from_source_map["interior.main"] = 99
+    assert ds.load_view(2, "main") == [99, 2]   # stride-5: v[::-1][5] = v2
+    assert ds.load_view(3, "main") is None      # needs 2 neighbors, has 1
+
+    ds.hd_folder = "HD7"
+    ds.view_map = {"main": [f"v{i}" for i in range(6)]}
+    out = ds.load_view(6, "main", rnd_state=0)  # NUM_VIEWS=6: needs 5
+    assert out is not None and len(out) == 6 and out[0] == 99
+    ds.view_map = {"main": [f"v{i}" for i in range(4)]}  # < 5 co-visible
+    assert ds.load_view(2, "main", rnd_state=0) is None
+
+
+def test_make_sample_rejects_short_view_list():
+    """A view list shorter than NUM_VIEWS raises (inside make_batch's
+    tolerance) instead of producing a zero-padded or ragged sample."""
+    from mulit_view_object_detection_tpu.data.generator import make_sample
+
+    ds = SyntheticMultiViewDataset(num_scenes=1, num_views=3)
+    cfg = DataCfg()
+    assert cfg.NUM_VIEWS == 2
+    with pytest.raises(ValueError, match="NUM_VIEWS"):
+        make_sample(ds, cfg, view_ids=[0])

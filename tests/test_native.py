@@ -63,10 +63,19 @@ def test_extract_bboxes_native(rng):
     masks[0, 4:10, 6:12] = True
     masks[1, 0:32, 0:1] = True
     # masks[2] stays empty
-    boxes = native.extract_bboxes(masks)
+    boxes = native.extract_bboxes(masks, layout="NHW")
     np.testing.assert_array_equal(boxes[0], [4, 6, 10, 12])
     np.testing.assert_array_equal(boxes[1], [0, 0, 32, 1])
     np.testing.assert_array_equal(boxes[2], [0, 0, 0, 0])
+    # explicit layout: [H, W, N] gives the same result; an instance-major
+    # stack with N > W (the old heuristic's blind spot) stays correct
+    np.testing.assert_array_equal(
+        native.extract_bboxes(np.transpose(masks, (1, 2, 0)),
+                              layout="HWN"), boxes)
+    wide = np.zeros((40, 8, 8), bool)     # N=40 > W=8
+    wide[7, 2:5, 3:6] = True
+    np.testing.assert_array_equal(
+        native.extract_bboxes(wide, layout="NHW")[7], [2, 3, 5, 6])
 
 
 def test_anchor_gt_match_native_equals_numpy(rng):
