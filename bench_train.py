@@ -19,33 +19,19 @@ import numpy as np
 BASELINE_STEPS_PER_SEC = 1.0  # see BENCH_NOTES.md
 
 
-def main():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-    import argparse
-
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=1,
-                    help="images per step; >1 measures per-chip batch "
-                         "scaling of training throughput")
-    ap.add_argument("--remat", action="store_true",
-                    help="enable backward-pass rematerialization")
-    args = ap.parse_args()
-
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
+def flagship_train_config(batch=1, remat=False, name="bench_train"):
+    """BASELINE config #2's training shape (interior_multi.py:370-394)
+    incl. the multi-view fork's 5-block resnet50 stage 4
+    (model_multi.py:596). Shared with tools/mfu_report.py so both always
+    measure the SAME workload."""
     from mulit_view_object_detection_tpu.config import Config
-    from mulit_view_object_detection_tpu.models.detector import (
-        MaskRCNN, make_dummy_batch)
-    from mulit_view_object_detection_tpu.train.step import (
-        create_train_state, make_train_step)
 
     class TrainBench(Config):
-        NAME = "bench_train"
+        NAME = name
         NUM_CLASSES = 23
         NUM_VIEWS = 2
         BACKBONE = "resnet50"
+        RESNET50_STAGE4_BLOCKS = 5
         TOP_DOWN_PYRAMID_SIZE = 64
         GRID_REAS = "conv3d"
         IMAGE_MIN_DIM = 640
@@ -62,10 +48,19 @@ def main():
         samples = 20
         COMPUTE_DTYPE = "bfloat16"
 
-    TrainBench.IMAGES_PER_GPU = args.batch
-    TrainBench.REMAT = args.remat
-    cfg = TrainBench()
-    model = MaskRCNN(cfg)
+    TrainBench.IMAGES_PER_GPU = batch
+    TrainBench.REMAT = remat
+    return TrainBench()
+
+
+def make_flagship_train_batch(cfg, device_put=True):
+    """Deterministic synthetic training batch at the flagship shape
+    (3 GT instances, 32+224 RPN anchor targets)."""
+    import jax
+
+    from mulit_view_object_detection_tpu.models.detector import (
+        make_dummy_batch)
+
     batch = make_dummy_batch(cfg, training=True)
     rng = np.random.RandomState(0)
     batch["images"] = rng.randn(*batch["images"].shape).astype(
@@ -81,7 +76,33 @@ def main():
     batch["rpn_match"][:, 32:256] = -1
     batch["rpn_bbox"] = np.zeros(
         (cfg.BATCH_SIZE, cfg.RPN_TRAIN_ANCHORS_PER_IMAGE, 4), np.float32)
-    batch = {k: jax.device_put(v) for k, v in batch.items()}
+    if device_put:
+        batch = {k: jax.device_put(v) for k, v in batch.items()}
+    return batch
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1,
+                    help="images per step; >1 measures per-chip batch "
+                         "scaling of training throughput")
+    ap.add_argument("--remat", action="store_true",
+                    help="enable backward-pass rematerialization")
+    args = ap.parse_args()
+
+    import jax
+    from jax import lax
+
+    from mulit_view_object_detection_tpu.models.detector import MaskRCNN
+    from mulit_view_object_detection_tpu.train.step import (
+        create_train_state, make_train_step)
+
+    cfg = flagship_train_config(batch=args.batch, remat=args.remat)
+    model = MaskRCNN(cfg)
+    batch = make_flagship_train_batch(cfg)
 
     state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
     train_step = make_train_step(cfg, stage="all", donate=False)

@@ -43,6 +43,11 @@ def cmd_train(args):
         _load_model_weights(model, args)
     dataset_train = load_dataset(args.dataset, "train")
     dataset_val = load_dataset(args.dataset, "val")
+    # Faithful quirk: `epochs` is a CUMULATIVE target (Keras
+    # initial_epoch semantics), and the reference passes 23 for BOTH
+    # stage 1 and stage 2 (interior.py:339-346) — so its '4+' stage
+    # trains ZERO epochs and 'all' runs epochs 24-35. Reproduced as-is;
+    # pass cumulative targets (e.g. 23/46/81) to actually run stage 2.
     model.train(dataset_train, dataset_val, config.LEARNING_RATE, 23,
                 layers="heads")
     model.train(dataset_train, dataset_val, config.LEARNING_RATE, 23,

@@ -98,13 +98,26 @@ def _load_model_weights(model, args):
     if args.model.lower() == "last":
         model.load_weights(model.find_last())
     elif args.model.lower() == "coco":
-        # COCO h5 import (head layers excluded for the 23-class taxonomy,
-        # interior_multi.py:441-447)
+        # COCO h5 import with the reference's head-swap exclude list
+        # (interior_multi.py:447, the documented transfer protocol): the
+        # 81-class heads, the 256->64-channel FPN convs, and the RPN
+        # submodel keep their fresh init. Passing the list explicitly
+        # (rather than riding shape-mismatch skips) guarantees no layer
+        # is left half-assigned when one weight matches and another
+        # doesn't.
         from ..utils.h5_import import load_h5_weights
         state = model._ensure_state()
+        exclude = [
+            "mrcnn_bbox_fc", "mrcnn_class_logits", "mrcnn_mask",
+            "fpn_c5p5", "fpn_c4p4", "fpn_c3p3", "fpn_c2p2",
+            "fpn_p5", "fpn_p4", "fpn_p3", "fpn_p2", "rpn_model",
+            "mrcnn_mask_conv1", "mrcnn_class_conv1", "mrcnn_mask_bn1",
+            "mrcnn_mask_conv2", "mrcnn_mask_bn2", "mrcnn_mask_conv3",
+            "mrcnn_mask_bn3", "mrcnn_mask_conv4", "mrcnn_mask_bn4",
+            "mrcnn_mask_deconv"]
         params, batch_stats, _ = load_h5_weights(
             args.coco_weights, state.params, state.batch_stats,
-            verbose=True)
+            verbose=True, exclude=exclude)
         model._state = state.replace(params=params, batch_stats=batch_stats)
     else:
         model.load_weights(args.model)

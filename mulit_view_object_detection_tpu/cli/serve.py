@@ -33,6 +33,10 @@ def build_config(args):
         samples = args.samples
         COMPUTE_DTYPE = "bfloat16"
         FOLD_BN = True               # serving mode: BNs folded into convs
+        # must match the checkpoint's backbone: interior checkpoints use
+        # the multi-view fork's 5-block stage 4 (model_multi.py:596);
+        # a mismatch fails Orbax restore on the param-tree structure
+        RESNET50_STAGE4_BLOCKS = args.stage4_blocks
 
     ServeConfig.IMAGES_PER_GPU = args.batch
     return ServeConfig()
@@ -54,6 +58,10 @@ def main(argv=None):
     parser.add_argument("--grid-reas", default="conv3d")
     parser.add_argument("--nvox", type=int, default=40)
     parser.add_argument("--samples", type=int, default=20)
+    parser.add_argument("--stage4-blocks", type=int, default=5,
+                        help="resnet50 stage-4 block count; 5 = the "
+                             "multi-view fork (interior checkpoints), "
+                             "3 = the single-view reference backbone")
     args = parser.parse_args(argv)
 
     from ..compat.model import MaskRCNN

@@ -33,7 +33,7 @@ def _run(monkeypatch, rcs, argv):
 def test_single_segment_success(monkeypatch):
     rc, calls = _run(monkeypatch, [0], [
         "--max-rss-gb", "55", "--",
-        "--steps", "10", "--ckpt", "/tmp/x"])
+        "--steps", "10", "--until-step", "10", "--ckpt", "/tmp/x"])
     assert rc == 0
     assert len(calls) == 1
     # child gets the RSS budget appended, and NO --resume on segment 0
@@ -44,7 +44,7 @@ def test_single_segment_success(monkeypatch):
 
 def test_exit75_relaunches_with_resume(monkeypatch):
     rc, calls = _run(monkeypatch, [75, 75, 0], [
-        "--", "--steps", "10", "--ckpt", "/tmp/x"])
+        "--", "--steps", "10", "--until-step", "10", "--ckpt", "/tmp/x"])
     assert rc == 0
     assert len(calls) == 3
     assert "--resume" not in calls[0]
@@ -54,7 +54,7 @@ def test_exit75_relaunches_with_resume(monkeypatch):
 
 def test_nonrestart_failure_propagates(monkeypatch):
     rc, calls = _run(monkeypatch, [75, 1], [
-        "--", "--steps", "10", "--ckpt", "/tmp/x"])
+        "--", "--steps", "10", "--until-step", "10", "--ckpt", "/tmp/x"])
     assert rc == 1
     assert len(calls) == 2
 
@@ -62,7 +62,7 @@ def test_nonrestart_failure_propagates(monkeypatch):
 def test_restart_cap(monkeypatch):
     rc, calls = _run(monkeypatch, [75] * 3, [
         "--max-restarts", "2", "--",
-        "--steps", "10", "--ckpt", "/tmp/x"])
+        "--steps", "10", "--until-step", "10", "--ckpt", "/tmp/x"])
     assert rc == 1
     assert len(calls) == 3  # initial + 2 restarts
 
@@ -74,7 +74,7 @@ def test_requires_ckpt(monkeypatch):
 
 def test_explicit_resume_not_duplicated(monkeypatch):
     rc, calls = _run(monkeypatch, [75, 0], [
-        "--", "--steps", "10", "--ckpt", "/tmp/x", "--resume"])
+        "--", "--steps", "10", "--until-step", "10", "--ckpt", "/tmp/x", "--resume"])
     assert rc == 0
     assert calls[1].count("--resume") == 1
 
@@ -108,3 +108,16 @@ def test_warmup_segmented_restore_structure(tmp_path):
     # final segment: restored at step 5, nothing left to run
     result = train_to_ap.main(list(common) + ["--resume"])
     assert result["steps"] == 5
+
+
+def test_requires_until_step(monkeypatch):
+    """--steps alone is relative (each restart trains N MORE steps);
+    the supervisor demands the absolute --until-step target."""
+    with pytest.raises(SystemExit):
+        train_supervisor.main(["--", "--steps", "10", "--ckpt", "/tmp/x"])
+
+
+def test_accepts_equals_form_flags(monkeypatch):
+    rc, calls = _run(monkeypatch, [0], [
+        "--", "--steps", "10", "--until-step=10", "--ckpt=/tmp/x"])
+    assert rc == 0 and len(calls) == 1

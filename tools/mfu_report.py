@@ -122,52 +122,17 @@ def inference_report():
 
 
 def train_report():
-    from bench_train import main as _  # noqa: F401  (same config shapes)
-    from mulit_view_object_detection_tpu.config import Config
-    from mulit_view_object_detection_tpu.models.detector import (
-        MaskRCNN, make_dummy_batch)
+    # ONE source of truth for the flagship training workload — any config
+    # drift between the step-time bench and this MFU report would make
+    # them measure different networks
+    from bench_train import flagship_train_config, make_flagship_train_batch
+    from mulit_view_object_detection_tpu.models.detector import MaskRCNN
     from mulit_view_object_detection_tpu.train.step import (
         create_train_state, make_train_step)
 
-    class TrainBench(Config):
-        NAME = "mfu_train"
-        NUM_CLASSES = 23
-        NUM_VIEWS = 2
-        BACKBONE = "resnet50"
-        TOP_DOWN_PYRAMID_SIZE = 64
-        GRID_REAS = "conv3d"
-        IMAGE_MIN_DIM = 640
-        IMAGE_MAX_DIM = 640
-        PRE_NMS_LIMIT = 1500
-        POST_NMS_ROIS_TRAINING = 500
-        TRAIN_ROIS_PER_IMAGE = 200
-        DETECTION_MAX_INSTANCES = 100
-        MAX_GT_INSTANCES = 100
-        nvox = 40
-        nvox_z = 40
-        vmin, vmax = -2.5, 2.5
-        vmin_z, vmax_z = 1.0, 10.0
-        samples = 20
-        COMPUTE_DTYPE = "bfloat16"
-
-    cfg = TrainBench()
+    cfg = flagship_train_config(name="mfu_train")
     model = MaskRCNN(cfg)
-    batch = make_dummy_batch(cfg, training=True)
-    rng = np.random.RandomState(0)
-    batch["images"] = rng.randn(*batch["images"].shape).astype(
-        np.float32) * 50.0
-    batch["gt_class_ids"][:, :3] = [1, 2, 3]
-    batch["gt_boxes"][:, 0] = [0.2, 0.2, 0.5, 0.5]
-    batch["gt_boxes"][:, 1] = [0.5, 0.5, 0.8, 0.8]
-    batch["gt_boxes"][:, 2] = [0.3, 0.55, 0.6, 0.9]
-    batch["gt_masks"][:, :3] = 1.0
-    a = batch["anchors"].shape[0]
-    batch["rpn_match"] = np.zeros((cfg.BATCH_SIZE, a), np.int32)
-    batch["rpn_match"][:, :32] = 1
-    batch["rpn_match"][:, 32:256] = -1
-    batch["rpn_bbox"] = np.zeros(
-        (cfg.BATCH_SIZE, cfg.RPN_TRAIN_ANCHORS_PER_IMAGE, 4), np.float32)
-    batch = {k: jax.device_put(v) for k, v in batch.items()}
+    batch = make_flagship_train_batch(cfg)
 
     state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
     train_step = make_train_step(cfg, stage="all", donate=False)

@@ -32,6 +32,8 @@ class Base(Config):
     NAME = "prof"
     NUM_CLASSES = 23
     BACKBONE = "resnet50"
+    # multi-view fork backbone: 5-block stage 4 (model_multi.py:596)
+    RESNET50_STAGE4_BLOCKS = 5
     TOP_DOWN_PYRAMID_SIZE = 64
     IMAGE_MIN_DIM = 640
     IMAGE_MAX_DIM = 640

@@ -40,6 +40,8 @@ def main():
         NUM_CLASSES = 23
         NUM_VIEWS = 2
         BACKBONE = "resnet50"
+        # multi-view fork backbone: 5-block stage 4 (model_multi.py:596)
+        RESNET50_STAGE4_BLOCKS = 5
         TOP_DOWN_PYRAMID_SIZE = 64
         GRID_REAS = "conv3d"
         IMAGE_MIN_DIM = args.size
@@ -81,7 +83,6 @@ def main():
         t0 = time.time()
         futs = [mb.submit(views, Rcam=Rcam, Kmat=Kmat)
                 for _ in range(args.requests)]
-        lat = []
         for fu in futs:
             fu.result(timeout=2400)
         wall = time.time() - t0

@@ -69,11 +69,25 @@ def main():
     with gzip.open(paths[-1], "rt") as f:
         trace = json.load(f)
 
-    # aggregate complete events on device tracks
+    # device tracks only: host threads (Python, runtime, thread pools)
+    # would otherwise pollute the op ranking and double-count time that
+    # overlaps device execution. Track names come from process_name
+    # metadata events; fall back to ALL tracks when no device track
+    # exists (pure-CPU traces).
+    pid_name = {}
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pid_name[ev.get("pid")] = ev.get("args", {}).get("name", "")
+    device_pids = {pid for pid, nm in pid_name.items()
+                   if any(t in nm for t in ("TPU", "GPU", "/device:",
+                                            "XLA Op", "Device"))}
+
     durations = defaultdict(float)
     counts = defaultdict(int)
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") != "X":
+            continue
+        if device_pids and ev.get("pid") not in device_pids:
             continue
         name = ev.get("name", "?")
         dur = ev.get("dur", 0)
@@ -81,8 +95,10 @@ def main():
         counts[name] += 1
     top = sorted(durations.items(), key=lambda kv: -kv[1])[:40]
     total = sum(durations.values())
+    scope = (f"{len(device_pids)} device track(s)" if device_pids
+             else "all tracks (no device track found)")
     print(f"total traced event time: {total / 1e3:.2f} ms "
-          f"(3 steps, all tracks)")
+          f"(3 steps, {scope})")
     for name, dur in top:
         print(f"{dur / 1e3:9.2f} ms  x{counts[name]:<5} {name[:110]}")
 

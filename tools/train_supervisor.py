@@ -14,7 +14,12 @@ budget is spent. Combined with the persistent compilation cache the
 restart costs seconds, not a recompile.
 
     python tools/train_supervisor.py --max-rss-gb 60 -- \
-        --steps 4500 --image-size 640 --ckpt /tmp/ckpt --ckpt-every 500 ...
+        --steps 4500 --until-step 4500 --image-size 640 \
+        --ckpt /tmp/ckpt --ckpt-every 500 ...
+
+--until-step (an ABSOLUTE step target) is required: --steps alone is
+relative, so each restarted segment would train N more steps and the
+run would never converge on its budget.
 """
 
 from __future__ import annotations
@@ -33,9 +38,20 @@ def main(argv=None):
                         help="arguments after `--` go to train_to_ap")
     args = parser.parse_args(argv)
     child_args = [a for a in args.train_args if a != "--"]
-    if "--ckpt" not in child_args:
+
+    def has_flag(flag):
+        return any(a == flag or a.startswith(flag + "=")
+                   for a in child_args)
+
+    if not has_flag("--ckpt"):
         parser.error("train_to_ap args must include --ckpt "
                      "(the restart contract is checkpoint-based)")
+    if not has_flag("--until-step"):
+        # --steps N is RELATIVE: every restarted segment would train N
+        # MORE steps and the run would never converge on a step budget
+        parser.error("train_to_ap args must include --until-step (an "
+                     "absolute target; --steps alone grows the budget "
+                     "by N per restart)")
 
     train_to_ap = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "train_to_ap.py")
