@@ -204,6 +204,38 @@ def test_stable_topk_periodic_const_spans(rng):
     np.testing.assert_array_equal(np.asarray(ref_v2), np.asarray(got_v2))
 
 
+def test_stable_topk_const_spans_fuzz(rng):
+    """Randomized layouts: arbitrary span positions/sizes/periods,
+    heavy exact ties, k larger and smaller than the span sizes — every
+    case must match lax.top_k bit-for-bit."""
+    import jax.numpy as jnp
+    from mulit_view_object_detection_tpu.ops.proposals import (
+        _stable_topk_with_const_spans)
+
+    for trial in range(25):
+        a_total = int(rng.randint(50, 400))
+        k = int(rng.randint(1, a_total))
+        # quantized scores force plenty of exact ties
+        scores = (rng.randint(0, 12, a_total) / 11.0).astype(np.float32)
+        spans, pos = [], 0
+        while pos < a_total - 10 and len(spans) < 3 and rng.rand() < 0.8:
+            start = pos + int(rng.randint(0, 5))
+            size = int(rng.randint(1, min(120, a_total - start)))
+            period = int(rng.randint(1, 5))
+            consts = (rng.randint(0, 12, period) / 11.0).astype(np.float32)
+            scores[start:start + size] = np.resize(
+                np.tile(consts, size // period + 1), size)
+            spans.append((start, size, period))
+            pos = start + size
+        ref_v, ref_i = jax.lax.top_k(jnp.asarray(scores), k)
+        got_v, got_i = _stable_topk_with_const_spans(
+            jnp.asarray(scores), k, tuple(spans), a_total)
+        np.testing.assert_array_equal(
+            np.asarray(ref_i), np.asarray(got_i),
+            err_msg=f"trial {trial}: spans={spans} k={k} a={a_total}")
+        np.testing.assert_array_equal(np.asarray(ref_v), np.asarray(got_v))
+
+
 def test_generate_proposals_const_spans_equivalent(rng):
     """generate_proposals with const_spans == without (same NMS input
     order, same proposals) when the spans really are constant."""
