@@ -22,6 +22,28 @@ import numpy as np
 BASELINE_FPS = 2.0  # see BENCH_NOTES.md
 
 
+def _probe_backend(timeout_s=300):
+    """Fail fast when the TPU is unreachable: with the axon tunnel down
+    (or held by another process), `import jax` blocks INDEFINITELY in
+    this environment, which would hang the whole bench harness. Probe in
+    a killable subprocess first and report an honest error line
+    instead."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if r.returncode == 0:
+            return None
+        return f"backend probe failed rc={r.returncode}: {r.stderr[-200:]}"
+    except subprocess.TimeoutExpired:
+        return (f"TPU backend unreachable or busy (probe timed out after "
+                f"{timeout_s}s; axon tunnel down or chip held by another "
+                f"process)")
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     import argparse
@@ -31,6 +53,14 @@ def main():
                     help="images per step; >1 measures batched serving "
                          "throughput (amortizes per-op overheads)")
     args = ap.parse_args()
+
+    err = _probe_backend()
+    if err is not None:
+        print(json.dumps({
+            "metric": "multiview_inference_2view_640_conv3d",
+            "value": 0.0, "unit": "frames/sec/chip", "vs_baseline": 0.0,
+            "error": err}))
+        return
 
     import jax
 
