@@ -22,26 +22,44 @@ import numpy as np
 BASELINE_FPS = 2.0  # see BENCH_NOTES.md
 
 
-def _probe_backend(timeout_s=300):
-    """Fail fast when the TPU is unreachable: with the axon tunnel down
-    (or held by another process), `import jax` blocks INDEFINITELY in
-    this environment, which would hang the whole bench harness. Probe in
-    a killable subprocess first and report an honest error line
-    instead."""
+def _probe_backend(timeout_s=240, attempts=3, backoff_s=90):
+    """Probe the TPU in a killable subprocess before importing jax here:
+    with the axon tunnel down (or held by another process), `import jax`
+    blocks INDEFINITELY in this environment, which would hang the whole
+    bench harness.
+
+    A busy chip usually frees within a minute or two (another process
+    finishing a step burst holds the tunnel exclusively), so the probe
+    RETRIES with backoff before giving up — round 3 lost its benchmark
+    artifact to a single-probe fail-fast. Returns (error_or_None,
+    probe_log); the caller emits the probe log into the JSON either way
+    so an empty round is diagnosable from the artifact alone."""
     import subprocess
     import sys
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
-            capture_output=True, text=True, timeout=timeout_s)
-        if r.returncode == 0:
-            return None
-        return f"backend probe failed rc={r.returncode}: {r.stderr[-200:]}"
-    except subprocess.TimeoutExpired:
-        return (f"TPU backend unreachable or busy (probe timed out after "
-                f"{timeout_s}s; axon tunnel down or chip held by another "
-                f"process)")
+    probes = []
+    for i in range(attempts):
+        t0 = time.perf_counter()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=timeout_s)
+            dt = round(time.perf_counter() - t0, 1)
+            if r.returncode == 0:
+                probes.append({"attempt": i + 1, "ok": True,
+                               "seconds": dt})
+                return None, probes
+            probes.append({"attempt": i + 1, "ok": False, "seconds": dt,
+                           "rc": r.returncode,
+                           "stderr": r.stderr[-200:]})
+        except subprocess.TimeoutExpired:
+            probes.append({"attempt": i + 1, "ok": False,
+                           "seconds": timeout_s, "timeout": True})
+        if i + 1 < attempts:
+            time.sleep(backoff_s)
+    return (f"TPU backend unreachable or busy after {attempts} probes "
+            f"({timeout_s}s timeout, {backoff_s}s backoff; axon tunnel "
+            f"down or chip held by another process)"), probes
 
 
 def main():
@@ -54,12 +72,12 @@ def main():
                          "throughput (amortizes per-op overheads)")
     args = ap.parse_args()
 
-    err = _probe_backend()
+    err, probes = _probe_backend()
     if err is not None:
         print(json.dumps({
             "metric": "multiview_inference_2view_640_conv3d",
             "value": 0.0, "unit": "frames/sec/chip", "vs_baseline": 0.0,
-            "error": err}))
+            "error": err, "probes": probes}))
         return
 
     import jax
@@ -165,6 +183,7 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "probes": probes,
     }))
 
 

@@ -382,9 +382,10 @@ class MaskRCNN:
         """Regex search over the inference graph's named intermediate
         outputs (the reference's `ancestor()` graph search,
         model_multi.py:3164-3190, reformulated for a functional graph:
-        names are output-dict keys rather than TF tensor names). Returns
-        {name: array} for every key matching `pattern`. With images=None
-        only the matching NAMES are returned (no compute)."""
+        names are output-dict keys rather than TF tensor names). With
+        images given, returns a DICT {name: array} for every key matching
+        `pattern`; with images=None, returns a LIST of the matching names
+        (no compute happens, so there are no arrays to key on)."""
         import re as _re
 
         rx = _re.compile(pattern)

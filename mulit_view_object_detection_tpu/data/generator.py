@@ -154,8 +154,17 @@ def make_sample(dataset, config, view_ids, rnd_state=None,
     mean_pixel = np.asarray(cfg.MEAN_PIXEL, np.float32)
     if uint8_xfer:
         # raw resized pixels; the device graph de-molds (detector.py) —
-        # bit-identical since resize_image hands back uint8 either way
-        images[0] = image.astype(np.uint8, copy=False)
+        # bit-identical since resize_image hands back uint8 either way.
+        # Augmenters may return FLOAT images though, and an astype here
+        # would silently truncate/wrap pixels — same guard as
+        # compat.MaskRCNN.mold_inputs' uint8_ok check.
+        if image.dtype != np.uint8:
+            raise TypeError(
+                f"UINT8_IMAGE_TRANSFER requires uint8 images end-to-end "
+                f"but the (possibly augmented) main view is "
+                f"{image.dtype}; return uint8 from the augmenter or "
+                f"disable UINT8_IMAGE_TRANSFER")
+        images[0] = image
     else:
         np.subtract(image, mean_pixel, out=images[0], casting="unsafe")
     R[0] = dataset.load_R(main_id)
@@ -167,7 +176,11 @@ def make_sample(dataset, config, view_ids, rnd_state=None,
             im, min_dim=cfg.IMAGE_MIN_DIM, min_scale=cfg.IMAGE_MIN_SCALE,
             max_dim=cfg.IMAGE_MAX_DIM, mode=cfg.IMAGE_RESIZE_MODE)
         if uint8_xfer:
-            images[i] = im.astype(np.uint8, copy=False)
+            if im.dtype != np.uint8:
+                raise TypeError(
+                    f"UINT8_IMAGE_TRANSFER requires uint8 images but "
+                    f"dataset.load_image returned {im.dtype}")
+            images[i] = im
         else:
             np.subtract(im, mean_pixel, out=images[i], casting="unsafe")
         R[i] = dataset.load_R(vid)

@@ -25,18 +25,39 @@ class SyntheticScene:
     """A set of 3D billboards + V cameras around the origin-ish."""
 
     def __init__(self, rng, num_objects=3, num_views=2, image_size=64,
-                 num_classes=4, focal=None):
+                 num_classes=4, focal=None, obj_px_range=None):
         self.image_size = image_size
         self.num_classes = num_classes
         f = focal or image_size
         c = image_size / 2.0
         self.K = np.array([[f, 0, c], [0, f, c], [0, 0, 1]], np.float64)
         # objects in the MAIN camera's viewing volume: x,y in [-1,1], z in [3,6]
-        self.centers = np.stack([
-            rng.uniform(-1.0, 1.0, num_objects),
-            rng.uniform(-1.0, 1.0, num_objects),
-            rng.uniform(3.0, 6.0, num_objects)], axis=1)
-        self.half_sizes = rng.uniform(0.3, 0.6, num_objects)
+        z = rng.uniform(3.0, 6.0, num_objects)
+        if obj_px_range is None:
+            half = rng.uniform(0.3, 0.6, num_objects)
+            cx = rng.uniform(-1.0, 1.0, num_objects)
+            cy = rng.uniform(-1.0, 1.0, num_objects)
+        else:
+            # Target an on-screen size in PIXELS so the scene exercises a
+            # chosen ROI-routing regime (ops/roi_align.py::roi_levels):
+            # Mask R-CNN routes a box of side s px to P4 iff s >~ 224/sqrt(2)
+            # and to P5 iff s >~ 224*sqrt(2) at 640^2.  The flagship protocol
+            # zeroes the fused P2/P3 maps (Config.ZERO_PG_LEVELS, matching
+            # model_multi.py's memory cap), so quality runs at the
+            # reference's 640^2 geometry need P4/P5-scale objects — exactly
+            # the furniture-scale content of InteriorNet itself.
+            lo, hi = obj_px_range
+            px = rng.uniform(lo, hi, num_objects)
+            half = px * z / (2.0 * f)           # size_px = 2*half*f/z
+            # keep centers fully in frame (half-frame at depth z is c*z/f)
+            # AND inside the voxel volume (|x|,|y| <= ~2, see train_to_ap's
+            # vmin/vmax) so the fusion grid actually covers the objects
+            m = np.clip(np.minimum((c / f) * z - half, 2.0 - half),
+                        0.05, None)
+            cx = rng.uniform(-1.0, 1.0, num_objects) * m
+            cy = rng.uniform(-1.0, 1.0, num_objects) * m
+        self.centers = np.stack([cx, cy, z], axis=1)
+        self.half_sizes = half
         self.class_ids = rng.randint(1, num_classes, num_objects)
         self.colors = _COLORS[rng.randint(0, len(_COLORS), num_objects)]
 
@@ -106,7 +127,7 @@ class SyntheticMultiViewDataset(Dataset):
     load_view/view_map like InteriorNetDataset)."""
 
     def __init__(self, num_scenes=4, num_views=3, image_size=64,
-                 num_classes=4, seed=0):
+                 num_classes=4, seed=0, obj_px_range=None):
         super().__init__()
         self.scenes = []
         self.K = None
@@ -117,7 +138,8 @@ class SyntheticMultiViewDataset(Dataset):
         for si in range(num_scenes):
             scene = SyntheticScene(rng, num_objects=3, num_views=num_views,
                                    image_size=image_size,
-                                   num_classes=num_classes)
+                                   num_classes=num_classes,
+                                   obj_px_range=obj_px_range)
             self.K = scene.K
             self.scenes.append(scene)
             ids = []

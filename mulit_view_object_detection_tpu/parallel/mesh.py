@@ -100,12 +100,21 @@ def make_parallel_train_step(train_step, mesh, view_sharding=False):
     state is replicated over the mesh on the first call — device-resident
     replicated states pass through device_put as a no-op — so the
     documented contract holds without callers invoking replicate_state
-    themselves."""
+    themselves. Leaves that ALREADY carry a NamedSharding on this mesh
+    (e.g. tensor-parallel params/opt_state placed by shard_state_tp) are
+    left alone: re-placing them as replicated would silently all-gather
+    the TP sharding away on every step."""
     b_shard = batch_sharding(mesh, view_sharding)
     rep = replicated(mesh)
 
+    def place(x):
+        s = getattr(x, "sharding", None)
+        if isinstance(s, NamedSharding) and s.mesh == mesh:
+            return x
+        return jax.device_put(x, rep)
+
     def step(state, batch, rng):
-        state = jax.device_put(state, rep)
+        state = jax.tree_util.tree_map(place, state)
         batch = shard_batch(batch, b_shard)
         return train_step(state, batch, rng)
 

@@ -91,8 +91,15 @@ def main(argv=None):
         try:
             while True:
                 item = pf._queue.get_nowait()
-                if item is getattr(type(pf), "_ERROR", None):
-                    pf._queue.put(item)   # keep error sentinels visible
+                # keep error sentinels visible: BatchPrefetcher uses the
+                # _ERROR object, ProcessPrefetcher an ('__prefetch_error__',
+                # tb) tuple — draining either silently would discard the
+                # worker traceback
+                is_err = (item is getattr(type(pf), "_ERROR", None)
+                          or (isinstance(item, tuple) and len(item) == 2
+                              and item[0] == "__prefetch_error__"))
+                if is_err:
+                    pf._queue.put(item)
                     break
         except Exception:
             pass

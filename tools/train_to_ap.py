@@ -173,6 +173,16 @@ def main(argv=None):
                              "tunnel; bit-identical, see "
                              "tests/test_detector.py::"
                              "test_uint8_image_transfer_exactness)")
+    parser.add_argument("--obj-px", default=None,
+                        help="'lo,hi' target on-screen object size in "
+                             "PIXELS. The flagship 640^2 protocol zeroes "
+                             "the fused P2/P3 maps (ZERO_PG_LEVELS — the "
+                             "reference's memory cap), so objects must be "
+                             "P4/P5-scale (>~170 px) to be classifiable; "
+                             "the default scene generator draws 64-256 px "
+                             "objects, which at 640^2 route to the ZEROED "
+                             "P3 and cap AP at ~0.25 no matter the "
+                             "training budget (round-3/4 root cause)")
     parser.add_argument("--bn-eval-batch-stats", action="store_true",
                         help="diagnostic: evaluate with BatchNorm in "
                              "batch-statistics mode (isolates running-"
@@ -217,10 +227,12 @@ def main(argv=None):
     if args.keep_main_levels is not None:
         cfg.XFORMER_KEEP_MAIN_LEVELS = args.keep_main_levels == "1"
     with_depth = bool(cfg.TRANSFORMER)
+    obj_px = (tuple(float(x) for x in args.obj_px.split(","))
+              if args.obj_px else None)
     ds = SyntheticMultiViewDataset(
         num_scenes=args.scenes, num_views=args.num_views,
         image_size=args.image_size, num_classes=cfg.NUM_CLASSES,
-        seed=args.seed)
+        seed=args.seed, obj_px_range=obj_px)
 
     model = Model(cfg)
     batch0 = make_batch(ds, cfg, rnd_state=0, with_depth=with_depth)
@@ -376,6 +388,19 @@ def main(argv=None):
             "per_scene": per_scene,
         }
 
+    # Cross-segment history: supervised runs (train_supervisor.py) restart
+    # this process many times; per-process lists lose everything before the
+    # last segment (round-3's AP_SYNTHETIC_640 shipped with history=[]).
+    # Append every loss/AP sample to a sidecar JSONL next to the checkpoint
+    # and rebuild the full trajectory from it at emit time.
+    hist_path = (args.ckpt.rstrip("/") + "_history.jsonl"
+                 if args.ckpt else None)
+
+    def record_history(entry):
+        if hist_path:
+            with open(hist_path, "a") as f:
+                f.write(json.dumps(entry) + "\n")
+
     rng = jax.random.PRNGKey(args.seed + 100)
     lr_drop = args.lr_drop
     if lr_drop is None:
@@ -445,10 +470,11 @@ def main(argv=None):
         losses.append(float(metrics["loss"]))
         if step % 100 == 0 or step == n_steps - 1:
             if args.diagnostics:
-                loss_history.append(
-                    {"step": step,
-                     **{k: round(float(v), 4)
-                        for k, v in metrics.items()}})
+                entry = {"step": start_step + step,
+                         **{k: round(float(v), 4)
+                            for k, v in metrics.items()}}
+                loss_history.append(entry)
+                record_history(entry)
             import resource
             rss_gb = (resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
                       / 1024.0 / 1024.0)
@@ -470,8 +496,11 @@ def main(argv=None):
             save_checkpoint(args.ckpt, state, step=start_step + step + 1)
         if args.eval_every and (step + 1) % args.eval_every == 0:
             ap = evaluate(state)
-            history.append({"step": step + 1, "ap50": ap})
-            print(f"step {step + 1}: mask AP@0.5 = {ap:.4f}", flush=True)
+            entry = {"step": start_step + step + 1, "ap50": round(ap, 4)}
+            history.append(entry)
+            record_history(entry)
+            print(f"step {start_step + step + 1}: mask AP@0.5 = {ap:.4f}",
+                  flush=True)
 
     elapsed = time.time() - t0
     if args.ckpt and not args.eval_only:
@@ -482,10 +511,25 @@ def main(argv=None):
         save_checkpoint(args.ckpt, state, step=start_step + n_steps)
         print(f"checkpoint saved to {args.ckpt}", flush=True)
     ap = -1.0 if args.skip_eval else evaluate(state)
+    if not args.skip_eval and not args.eval_only:
+        record_history({"step": start_step + n_steps, "ap50": round(ap, 4)})
     diag = None
     if args.diagnostics and not with_depth:
         diag = diagnose(state)
         print("diagnostics:", json.dumps(diag), flush=True)
+    if hist_path and os.path.exists(hist_path):
+        # rebuild the FULL cross-segment trajectory; dedupe by absolute
+        # step keeping the LAST sample (an exit-75 restart replays the
+        # tail of the previous segment from its checkpoint)
+        ap_by, loss_by = {}, {}
+        with open(hist_path) as f:
+            for line in f:
+                e = json.loads(line)
+                (ap_by if "ap50" in e else loss_by)[e["step"]] = e
+        if ap_by:
+            history = [ap_by[s] for s in sorted(ap_by)]
+        if loss_by:
+            loss_history = [loss_by[s] for s in sorted(loss_by)]
     result = {
         "metric": "synthetic_train_to_ap50",
         "variant": args.variant,
@@ -507,6 +551,7 @@ def main(argv=None):
         "lr": cfg.LEARNING_RATE,
         "warmup": args.warmup,
         "zero_pg_levels": list(cfg.ZERO_PG_LEVELS),
+        "obj_px": list(obj_px) if obj_px else None,
     }
     if diag:
         result["diagnostics"] = diag
