@@ -150,9 +150,17 @@ _WEIGHTLESS = [
 
 def write_matterport_h5(path, num_classes=81, architecture="resnet101",
                         top_down=256, fc_size=1024, mask_filters=256,
-                        seed=0, scale=0.05):
+                        seed=0, scale=0.05, init="legacy"):
     """Write a mask_rcnn_coco.h5-layout weights file with seeded random
-    values. Returns {layer_name: {inner/weight: array}} for assertions."""
+    values. Returns {layer_name: {inner/weight: array}} for assertions.
+
+    init="legacy" draws every kernel at a flat `scale` std (fine for
+    import-layout tests). init="fanin" draws kernels at 1/sqrt(fan_in)
+    std so activations stay O(1) through the 50-conv backbone — required
+    when the weights are meant to be RUN (the full-graph parity golden,
+    tools/gen_fullgraph_golden.py), not just loaded: flat 0.05 kernels
+    decay activations to ~0 and every head output collapses to its bias.
+    """
     import h5py
 
     rng = np.random.RandomState(seed)
@@ -176,6 +184,21 @@ def write_matterport_h5(path, num_classes=81, architecture="resnet101",
                         arr = (1.0 + scale * rng.randn(*shape)).astype(
                             np.float32)
                         arr = np.abs(arr) + 1e-3
+                    elif init == "fanin" and len(shape) > 1:
+                        fan_in = int(np.prod(shape[:-1]))
+                        arr = (rng.randn(*shape) /
+                               np.sqrt(max(fan_in, 1))).astype(np.float32)
+                        # output heads: random BN stats don't normalize,
+                        # so trunk activations keep the molded image's
+                        # ~70 std (residual shortcuts carry it through);
+                        # unscaled head logits then saturate softmax to
+                        # 1.0 and score ORDER becomes tie-broken noise.
+                        # 0.02 puts logits at O(1): spread, comparable
+                        # scores.
+                        if inner in ("rpn_class_raw", "rpn_bbox_pred",
+                                     "mrcnn_class_logits", "mrcnn_bbox_fc",
+                                     "mrcnn_mask"):
+                            arr *= 0.02
                     else:
                         arr = (scale * rng.randn(*shape)).astype(np.float32)
                     ig.create_dataset(f"{wname}:0", data=arr)

@@ -1,0 +1,144 @@
+"""WHOLE-GRAPH single-view parity against the executed reference.
+
+tests/fixtures/golden_fullgraph.npz was produced by actually RUNNING the
+reference's complete inference pipeline (mrcnn/model.py:2489-2545 —
+MaskRCNN('inference').detect: mold -> resnet50/FPN/RPN -> ProposalLayer
+-> heads -> DetectionLayer -> unmold) on deterministic seeded weights
+(tools/gen_fullgraph_golden.py). This test reconstructs the IDENTICAL
+weights through utils.h5_fixture (same seed, byte-exact keras-2 h5
+layout), loads them through the repo's h5 importer — exercising the real
+import path — runs the repo's engine on the same image, and compares
+input -> final detections/masks. This is BASELINE config #1's
+end-to-end check: any wiring, routing, molding, NMS, or head-semantics
+divergence shows up as grossly different detections.
+
+Tolerances: both stacks run float32 on CPU but with different conv
+backends (oneDNN vs XLA), so activations drift ~1e-5 relative; after
+top-k/NMS that surfaces as slightly different scores and, in the worst
+case, a swapped tail detection. Matched detections must agree tightly;
+one unmatched tail detection is tolerated.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "golden_fullgraph.npz")
+
+# must mirror tools/gen_fullgraph_golden.GOLDEN (kept literal here so the
+# test never imports the generator, which pulls TF shims)
+GOLDEN = dict(num_classes=4, architecture="resnet50", top_down=64,
+              fc_size=128, mask_filters=256, seed=7, image_size=128)
+
+
+@pytest.fixture(scope="module")
+def fx():
+    return np.load(FIXTURE)
+
+
+def _config():
+    from mulit_view_object_detection_tpu.config import Config
+
+    class GoldenConfig(Config):
+        NAME = "golden_fullgraph"
+        GPU_COUNT = 1
+        IMAGES_PER_GPU = 1
+        NUM_CLASSES = GOLDEN["num_classes"]
+        NUM_VIEWS = 1
+        BACKBONE = GOLDEN["architecture"]
+        TOP_DOWN_PYRAMID_SIZE = GOLDEN["top_down"]
+        FPN_CLASSIF_FC_LAYERS_SIZE = GOLDEN["fc_size"]
+        IMAGE_MIN_DIM = GOLDEN["image_size"]
+        IMAGE_MAX_DIM = GOLDEN["image_size"]
+        RPN_ANCHOR_SCALES = (8, 16, 32, 64, 128)
+        PRE_NMS_LIMIT = 512
+        POST_NMS_ROIS_INFERENCE = 100
+        DETECTION_MAX_INSTANCES = 10
+        DETECTION_MIN_CONFIDENCE = 0.0
+        COMPUTE_DTYPE = "float32"
+
+    return GoldenConfig()
+
+
+def _iou(a, b):
+    y1 = np.maximum(a[0], b[0])
+    x1 = np.maximum(a[1], b[1])
+    y2 = np.minimum(a[2], b[2])
+    x2 = np.minimum(a[3], b[3])
+    inter = max(y2 - y1, 0) * max(x2 - x1, 0)
+    area = lambda t: max(t[2] - t[0], 0) * max(t[3] - t[1], 0)  # noqa: E731
+    union = area(a) + area(b) - inter
+    return inter / union if union > 0 else 0.0
+
+
+def test_fullgraph_detection_parity(fx, tmp_path):
+    from mulit_view_object_detection_tpu.compat.model import MaskRCNN
+    from mulit_view_object_detection_tpu.utils.h5_fixture import (
+        write_matterport_h5)
+
+    h5 = str(tmp_path / "golden_fullgraph.h5")
+    write_matterport_h5(
+        h5, num_classes=GOLDEN["num_classes"],
+        architecture=GOLDEN["architecture"], top_down=GOLDEN["top_down"],
+        fc_size=GOLDEN["fc_size"], mask_filters=GOLDEN["mask_filters"],
+        seed=GOLDEN["seed"], init="fanin")
+
+    cfg = _config()
+    engine = MaskRCNN("inference", cfg, str(tmp_path))
+    engine.load_weights(h5, by_name=True)
+
+    image = np.asarray(fx["image"])
+    r = engine.detect([image[None]])[0]
+
+    g_rois = np.asarray(fx["rois"], np.float32)
+    g_cls = np.asarray(fx["class_ids"])
+    g_scores = np.asarray(fx["scores"])
+    g_masks = np.asarray(fx["masks"])
+
+    n_gold = len(g_cls)
+    n_ours = len(r["class_ids"])
+    assert abs(n_gold - n_ours) <= 1, (
+        f"detection count diverged: reference {n_gold}, ours {n_ours}")
+
+    matched = 0
+    used = set()
+    for gi in range(n_gold):
+        best, best_iou = None, 0.0
+        for oi in range(n_ours):
+            if oi in used or r["class_ids"][oi] != g_cls[gi]:
+                continue
+            iou = _iou(g_rois[gi], r["rois"][oi].astype(np.float32))
+            if iou > best_iou:
+                best, best_iou = oi, iou
+        if best is None or best_iou < 0.9:
+            continue
+        used.add(best)
+        matched += 1
+        assert abs(float(r["scores"][best]) - float(g_scores[gi])) < 0.02, (
+            f"score diverged on matched detection {gi}: "
+            f"{g_scores[gi]} vs {r['scores'][best]}")
+        gm = g_masks[..., gi]
+        om = np.asarray(r["masks"][..., best]).astype(bool)
+        inter = np.logical_and(gm, om).sum()
+        union = np.logical_or(gm, om).sum()
+        if union:
+            assert inter / union > 0.85, (
+                f"mask diverged on matched detection {gi}: "
+                f"IoU {inter / union:.3f}")
+    # tolerate ONE tie-order tail casualty from cross-backend fp drift
+    assert matched >= n_gold - 1, (
+        f"only {matched}/{n_gold} reference detections matched "
+        f"(class+IoU>=0.9)")
+
+
+def test_fullgraph_anchor_parity(fx):
+    cfg = _config()
+    from mulit_view_object_detection_tpu.compat.model import MaskRCNN
+    eng = MaskRCNN.__new__(MaskRCNN)
+    eng.config = cfg
+    ours = eng.get_anchors((GOLDEN["image_size"], GOLDEN["image_size"], 3))
+    ref = np.asarray(fx["anchors"])
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
