@@ -1,0 +1,80 @@
+"""STRICT head-subgraph goldens vs the reference's executed head graphs.
+
+tests/fixtures/golden_heads.npz holds the reference's OWN
+fpn_classifier_graph (model.py:904-957, the conv-as-FC classifier stack)
+and build_fpn_mask_graph (model.py:960-1003, the mask deconv head)
+outputs — computed by running those graphs (tools/gen_fullgraph_golden.py)
+on the real FPN features of the golden image with the shared seeded
+weights and a FIXED roi set. No NMS/top-k sits between input and output,
+so the comparison is tight: these are the two subgraphs kernel-level
+goldens didn't previously cover (round-3 verdict item 6).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_fullgraph_parity import GOLDEN, _config
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "golden_heads.npz")
+
+
+@pytest.fixture(scope="module")
+def fx():
+    return np.load(FIXTURE)
+
+
+@pytest.fixture(scope="module")
+def loaded_state(tmp_path_factory):
+    from mulit_view_object_detection_tpu.compat.model import MaskRCNN
+    from mulit_view_object_detection_tpu.utils.h5_fixture import (
+        write_matterport_h5)
+
+    tmp = tmp_path_factory.mktemp("golden_heads")
+    h5 = str(tmp / "golden.h5")
+    write_matterport_h5(
+        h5, num_classes=GOLDEN["num_classes"],
+        architecture=GOLDEN["architecture"], top_down=GOLDEN["top_down"],
+        fc_size=GOLDEN["fc_size"], mask_filters=GOLDEN["mask_filters"],
+        seed=GOLDEN["seed"], init="fanin")
+    cfg = _config()
+    engine = MaskRCNN("inference", cfg, str(tmp))
+    engine.load_weights(h5, by_name=True)
+    state = engine._ensure_state()
+    return cfg, state
+
+
+def _pooled(fx, pool_size):
+    import jax.numpy as jnp
+    from mulit_view_object_detection_tpu.ops.roi_align import (
+        pyramid_roi_align)
+    feats = [jnp.asarray(fx[n]) for n in
+             ("fpn_p2", "fpn_p3", "fpn_p4", "fpn_p5")]
+    s = GOLDEN["image_size"]
+    return pyramid_roi_align(jnp.asarray(fx["rois"]), feats, (s, s),
+                             pool_size)
+
+
+def test_classifier_head_golden(fx, loaded_state):
+    from mulit_view_object_detection_tpu.models.heads import ClassifierHead
+    cfg, state = loaded_state
+    head = ClassifierHead(cfg.NUM_CLASSES, cfg.POOL_SIZE,
+                          cfg.FPN_CLASSIF_FC_LAYERS_SIZE,
+                          train_bn=False)
+    variables = {"params": state.params["classifier_head"],
+                 "batch_stats": state.batch_stats["classifier_head"]}
+    _, probs, bbox = head.apply(variables, _pooled(fx, cfg.POOL_SIZE))
+    np.testing.assert_allclose(np.asarray(probs), fx["probs"], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(bbox), fx["bbox"], atol=2e-3)
+
+
+def test_mask_head_golden(fx, loaded_state):
+    from mulit_view_object_detection_tpu.models.heads import MaskHead
+    cfg, state = loaded_state
+    head = MaskHead(cfg.NUM_CLASSES, 256, train_bn=False)
+    variables = {"params": state.params["mask_head"],
+                 "batch_stats": state.batch_stats["mask_head"]}
+    masks = head.apply(variables, _pooled(fx, cfg.MASK_POOL_SIZE))
+    np.testing.assert_allclose(np.asarray(masks), fx["masks"], atol=2e-4)

@@ -182,6 +182,77 @@ def reference_config_cls(Config):
     return GoldenConfig
 
 
+HEADS_FIXTURE = os.path.join(REPO, "tests", "fixtures",
+                             "golden_heads.npz")
+
+
+def gen_head_goldens(modellib, model, cfg, molded, metas, anchors):
+    """STRICT kernel-level goldens for the two head subgraphs the
+    full-graph match only covers loosely: the classifier conv-as-FC
+    stack (model.py:904-957 fpn_classifier_graph) and the mask deconv
+    head (model.py:960-1003 build_fpn_mask_graph). Runs the reference's
+    own head graphs — weights copied from the loaded full model — on the
+    real FPN features and a FIXED seeded ROI set (no NMS in the loop, so
+    outputs are directly comparable at tight tolerance)."""
+    import keras.layers as KL
+    import keras.models as KM
+
+    km = model.keras_model
+    p_names = ["fpn_p2", "fpn_p3", "fpn_p4", "fpn_p5"]
+    feat_model = KM.Model(
+        km.inputs, [km.get_layer(n).output for n in p_names])
+    feats = feat_model.predict([molded, metas, anchors[None]], verbose=0)
+
+    rng = np.random.RandomState(23)
+    n_rois = 32
+    y1x1 = rng.uniform(0.0, 0.8, (1, n_rois, 2)).astype(np.float32)
+    hw = rng.uniform(0.05, 0.5, (1, n_rois, 2)).astype(np.float32)
+    rois = np.concatenate([y1x1, np.minimum(y1x1 + hw, 1.0)], axis=-1)
+    rois[0, 0] = [0.0, 0.0, 1.0, 1.0]          # full frame
+    rois[0, 1] = [0.25, 0.25, 0.25, 0.25]      # degenerate
+    rois[0, 2] = [0.0, 0.0, 0.0, 0.0]          # zero padding convention
+
+    rois_in = KL.Input(shape=[n_rois, 4])
+    meta_in = KL.Input(shape=[metas.shape[1]])
+    feat_ins = [KL.Input(shape=f.shape[1:]) for f in feats]
+    _, probs, bbox = modellib.fpn_classifier_graph(
+        rois_in, feat_ins, meta_in, cfg.POOL_SIZE, cfg.NUM_CLASSES,
+        train_bn=False, fc_layers_size=cfg.FPN_CLASSIF_FC_LAYERS_SIZE)
+    cls_model = KM.Model([rois_in, meta_in] + feat_ins, [probs, bbox])
+
+    rois_in2 = KL.Input(shape=[n_rois, 4])
+    meta_in2 = KL.Input(shape=[metas.shape[1]])
+    feat_ins2 = [KL.Input(shape=f.shape[1:]) for f in feats]
+    masks = modellib.build_fpn_mask_graph(
+        rois_in2, feat_ins2, meta_in2, cfg.MASK_POOL_SIZE,
+        cfg.NUM_CLASSES, train_bn=False)
+    mask_model = KM.Model([rois_in2, meta_in2] + feat_ins2, masks)
+
+    head_layers = ["mrcnn_class_conv1", "mrcnn_class_bn1",
+                   "mrcnn_class_conv2", "mrcnn_class_bn2",
+                   "mrcnn_class_logits", "mrcnn_bbox_fc"]
+    mask_layers = [f"mrcnn_mask_conv{i}" for i in range(1, 5)] + \
+                  [f"mrcnn_mask_bn{i}" for i in range(1, 5)] + \
+                  ["mrcnn_mask_deconv", "mrcnn_mask"]
+    for name in head_layers:
+        cls_model.get_layer(name).set_weights(
+            km.get_layer(name).get_weights())
+    for name in mask_layers:
+        mask_model.get_layer(name).set_weights(
+            km.get_layer(name).get_weights())
+
+    g_probs, g_bbox = cls_model.predict(
+        [rois, metas] + list(feats), verbose=0)
+    g_masks = mask_model.predict([rois, metas] + list(feats), verbose=0)
+
+    np.savez_compressed(
+        HEADS_FIXTURE, rois=rois, meta=metas.astype(np.float32),
+        probs=g_probs, bbox=g_bbox, masks=g_masks,
+        **{n: f for n, f in zip(p_names, feats)})
+    print(f"wrote {HEADS_FIXTURE}: probs {g_probs.shape} "
+          f"bbox {g_bbox.shape} masks {g_masks.shape}")
+
+
 def main():
     tf = install_shims()
 
@@ -239,6 +310,8 @@ def main():
             [molded, metas, anchors[None]], verbose=0)[0]
     except Exception as e:  # pragma: no cover
         print("proposals capture skipped:", e)
+
+    gen_head_goldens(modellib, model, cfg, molded, metas, anchors)
 
     out = dict(
         image=image,
