@@ -209,3 +209,77 @@ def write_matterport_h5(path, num_classes=81, architecture="resnet101",
             g = f.create_group(name)
             g.attrs["weight_names"] = np.array([], dtype="S1")
     return written
+
+
+# output heads whose kernels get scaled down under init="fanin" so the
+# random-weight goldens produce SPREAD scores instead of saturated ties
+# (see write_matterport_h5's comment)
+_HEAD_OUT_INNERS = ("rpn_class_raw", "rpn_bbox_pred", "mrcnn_class_logits",
+                    "mrcnn_bbox_fc", "mrcnn_mask")
+
+
+def golden_inventory_value(weight_name, shape, seed=0):
+    """Deterministic value for one weight, seeded by its NAME — both the
+    reference-side golden generator and the repo-side parity check call
+    this, so neither needs the other's framework in-process."""
+    import zlib
+
+    rng = np.random.RandomState(
+        zlib.crc32(f"{seed}:{weight_name}".encode()) & 0xFFFFFFFF)
+    shape = tuple(int(s) for s in shape)
+    wname = weight_name.split("/")[-1].split(":")[0]
+    inner = weight_name.split("/")[0]
+    if wname in ("moving_variance", "gamma"):
+        return (np.abs(1.0 + 0.05 * rng.randn(*shape)) + 1e-3).astype(
+            np.float32)
+    if inner == "mrcnn_class_logits" and wname == "bias":
+        # zero: in the multi-view golden the fused features reaching the
+        # classifier are small (8 fan-in-scaled convs of decay), and any
+        # class-bias spread would pin EVERY ROI's argmax to one class —
+        # per-ROI feature variation must decide the class
+        return np.zeros(shape, np.float32)
+    if wname in ("moving_mean", "beta", "bias"):
+        return (0.02 * rng.randn(*shape)).astype(np.float32)
+    if len(shape) > 1:
+        fan_in = int(np.prod(shape[:-1]))
+        arr = (rng.randn(*shape) / np.sqrt(max(fan_in, 1))).astype(
+            np.float32)
+        if inner in ("mrcnn_class_logits", "rpn_class_raw"):
+            # full scale: rpn_class_raw must let the FUSED levels' varied
+            # scores beat the zeroed-PG2/PG3 levels' constant bias in the
+            # proposal top-k, else every proposal is a tiny P2 anchor
+            # that routes back to the zeroed levels and classifies BG
+            pass
+        elif inner in _HEAD_OUT_INNERS:
+            arr *= 0.02
+        return arr
+    return (0.05 * rng.randn(*shape)).astype(np.float32)
+
+
+def write_h5_from_inventory(path, inventory, seed=0):
+    """Write a keras-2-protocol weights h5 from a layer INVENTORY — the
+    [{"layer": name, "weights": [{"name": ..., "shape": [...]}]}] dump of
+    a built keras model (tests/fixtures/golden_multiview_layers.json
+    holds the multi-view fork's: 169 weighted layers from the
+    model_multi.py inference build). Values are name-seeded via
+    golden_inventory_value, so the reference side (keras by_name loader)
+    and the repo side (utils.h5_import) reconstruct identical weights
+    from the inventory alone."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        f.attrs["layer_names"] = np.array(
+            [e["layer"].encode() for e in inventory])
+        f.attrs["backend"] = b"tensorflow"
+        f.attrs["keras_version"] = b"2.0.8"
+        for e in inventory:
+            g = f.create_group(e["layer"])
+            wnames = []
+            for w in e["weights"]:
+                full = w["name"]
+                g.create_dataset(
+                    full, data=golden_inventory_value(full, w["shape"],
+                                                      seed))
+                wnames.append(full.encode())
+            g.attrs["weight_names"] = (np.array(wnames) if wnames
+                                       else np.array([], dtype="S1"))

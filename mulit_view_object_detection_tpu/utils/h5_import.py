@@ -79,6 +79,17 @@ def _h5_layer_weights(h5file):
 
 _BOTTLENECK_RE = re.compile(r"^(res|bn)(\d)([a-z]+)_branch(2[abc]|1)$")
 
+# multi-view fork fusion layers (model_multi.py:394-490; per-level scopes
+# 'grid_reas_P{n}' / 'grid_reas_depth_PG{n}' at model_multi.py:2387-2403)
+_GRID_CONV_RE = re.compile(r"^grid_reas_P(\d)_3D_conv(_deconv)?_([12])$")
+_GRID_BN_RE = re.compile(
+    r"^grid_reas_P(\d)_batch_norm(?:(deconv)?_([12]))?$")
+_GRID_IDENT_RE = re.compile(r"^grid_reas_P(\d)ident_conv$")
+_GRID_LSTM_RE = re.compile(r"^grid_reas_P(\d)_convlstm3d$")
+_DEPTH_RE = re.compile(
+    r"^grid_reas_depth_PG(\d)"
+    r"(?:_DepthwiseConv_([12])|2DConv_([12])|bn_([12])|2DConv|bn_deconv)$")
+
 
 def _map_layer(name):
     """Keras layer name -> (tree path tuple, is_bn)."""
@@ -93,6 +104,41 @@ def _map_layer(name):
         return ("backbone", "conv1"), False
     if name == "bn_conv1":
         return ("backbone", "bn_conv1"), True
+    m = _GRID_CONV_RE.match(name)
+    if m:
+        lvl, deconv, idx = m.groups()
+        sub = ("up" if deconv else "down") + idx
+        return (f"grid_fusion_p{lvl}", sub), False
+    m = _GRID_BN_RE.match(name)
+    if m:
+        lvl, deconv, idx = m.groups()
+        if idx is None:
+            sub = "fuse_bn"              # add / ident / lstm3d single BN
+        else:
+            sub = ("bn_up" if deconv else "bn") + idx
+        return (f"grid_fusion_p{lvl}", sub), True
+    m = _GRID_IDENT_RE.match(name)
+    if m:
+        return (f"grid_fusion_p{m.group(1)}", "ident_conv"), False
+    m = _GRID_LSTM_RE.match(name)
+    if m:
+        # handled specially in load_h5_weights (kernel + recurrent_kernel
+        # fuse into the single-gate-conv parameter)
+        return (f"grid_fusion_p{m.group(1)}", "convlstm", "cell",
+                "lstm_gates"), False
+    m = _DEPTH_RE.match(name)
+    if m:
+        lvl, dw, pw, bn = m.groups()
+        base = f"depth_collapse_p{lvl}"
+        if dw:
+            return (base, "dw" + dw), False
+        if pw:
+            return (base, "pw" + pw), False
+        if bn:
+            return (base, "bn" + bn), True
+        if name.endswith("bn_deconv"):
+            return (base, "bn"), True
+        return (base, "collapse"), False    # name+'2DConv' (1x1 collapse)
     if name.startswith("fpn_"):
         return ("fpn", name), False
     if name.startswith("rpn_"):
@@ -155,16 +201,34 @@ def load_h5_weights(h5_path, params, batch_stats=None, verbose=False,
                         weights.get("moving_variance"))
             else:
                 kernel = weights.get("kernel")
-                if kernel is not None and "deconv" in lname:
-                    # Keras Conv2DTranspose stores [kh, kw, out, in] and
+                if "depthwise_kernel" in weights:
+                    # Keras DepthwiseConv2D stores [kh, kw, in, mult=1]
+                    # under `depthwise_kernel`; our grouped
+                    # nn.Conv(feature_group_count=in) wants
+                    # [kh, kw, in/groups=1, out=in]
+                    kernel = np.transpose(weights["depthwise_kernel"],
+                                          (0, 1, 3, 2))
+                elif kernel is not None and "recurrent_kernel" in weights:
+                    # the fork's ConvLSTMCell keeps separate input /
+                    # recurrent kernels (recurrent.py:443-478); our cell
+                    # runs ONE conv over concat([x, h]), so the fused
+                    # kernel is their concat along the input-channel axis
+                    kernel = np.concatenate(
+                        [kernel, weights["recurrent_kernel"]], axis=-2)
+                elif kernel is not None and "deconv" in lname:
+                    # Keras Conv{2,3}DTranspose stores [k..., out, in] and
                     # computes the GRADIENT-of-conv deconvolution. Flax
                     # nn.ConvTranspose (transpose_kernel=False) computes a
-                    # fractionally-strided CORRELATION over a [kh, kw, in,
+                    # fractionally-strided CORRELATION over a [k..., in,
                     # out] kernel — the two differ by a spatial flip, so
-                    # both the flip and the channel transpose are needed
-                    # to reproduce TF numerics (see
+                    # both the flip (every spatial dim) and the channel
+                    # transpose are needed to reproduce TF numerics (see
                     # tests/test_h5_import.py::test_deconv_semantics).
-                    kernel = np.transpose(kernel[::-1, ::-1], (0, 1, 3, 2))
+                    nd = kernel.ndim
+                    flip = tuple(slice(None, None, -1)
+                                 for _ in range(nd - 2))
+                    kernel = np.transpose(
+                        kernel[flip], (*range(nd - 2), nd - 1, nd - 2))
                 _assign(params, path, "kernel", kernel)
                 _assign(params, path, "bias", weights.get("bias"))
             loaded.append(lname)

@@ -1,0 +1,152 @@
+"""Repo-side check of the MULTI-VIEW full-graph golden.
+
+Reconstructs the reference's weights from the inventory fixture
+(tests/fixtures/golden_multiview_layers.json + the shared name-seeded
+value rule), loads them through the repo's h5 importer — exercising the
+multi-view fork's checkpoint protocol (grid_reas_*/depth collapse layer
+mapping, 3D deconv kernel transform, depthwise kernels) — runs the
+repo's engine on the golden 2-view input, and compares detections
+against tests/fixtures/golden_multiview.npz (produced by EXECUTING the
+reference's model_multi.py graph, tools/gen_multiview_golden.py).
+
+Emits one JSON line and exits nonzero on mismatch; run directly or via
+tests/test_multiview_fullgraph.py (env RUN_HEAVY_PARITY=1 — the 640^2
+CPU compile is too heavy for the default suite).
+
+    JAX_PLATFORMS=cpu python tools/check_multiview_golden.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FIXTURE = os.path.join(REPO, "tests", "fixtures", "golden_multiview.npz")
+INVENTORY = os.path.join(REPO, "tests", "fixtures",
+                         "golden_multiview_layers.json")
+
+from tools.gen_multiview_golden import GOLDEN_MV  # noqa: E402
+
+
+def build_config():
+    from mulit_view_object_detection_tpu.config import Config
+    g = GOLDEN_MV
+
+    class GoldenMVConfig(Config):
+        NAME = "golden_multiview"
+        GPU_COUNT = 1
+        IMAGES_PER_GPU = 1
+        NUM_CLASSES = g["num_classes"]
+        NUM_VIEWS = g["num_views"]
+        BACKBONE = "resnet50"
+        # the reference's model_multi.py resnet50 stage 4 has 5 blocks
+        # in BOTH model.py and model_multi.py (same {"resnet50": 5} map)
+        RESNET50_STAGE4_BLOCKS = 5
+        TOP_DOWN_PYRAMID_SIZE = g["top_down"]
+        FPN_CLASSIF_FC_LAYERS_SIZE = g["fc_size"]
+        IMAGE_MIN_DIM = g["image_size"]
+        IMAGE_MAX_DIM = g["image_size"]
+        RPN_ANCHOR_SCALES = tuple(g["anchor_scales"])
+        PRE_NMS_LIMIT = 512
+        POST_NMS_ROIS_INFERENCE = 100
+        DETECTION_MAX_INSTANCES = 10
+        DETECTION_MIN_CONFIDENCE = 0.0
+        GRID_REAS = "conv3d"
+        ZERO_PG_LEVELS = (0, 1)
+        nvox = g["nvox"]
+        nvox_z = g["nvox_z"]
+        vmin = g["vmin"]
+        vmax = g["vmax"]
+        vmin_z = g["vmin_z"]
+        vmax_z = g["vmax_z"]
+        samples = g["samples"]
+        COMPUTE_DTYPE = "float32"
+        USE_PALLAS = False
+
+    return GoldenMVConfig()
+
+
+def iou(a, b):
+    y1, x1 = max(a[0], b[0]), max(a[1], b[1])
+    y2, x2 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(y2 - y1, 0) * max(x2 - x1, 0)
+    area = lambda t: max(t[2] - t[0], 0) * max(t[3] - t[1], 0)  # noqa: E731
+    union = area(a) + area(b) - inter
+    return inter / union if union > 0 else 0.0
+
+
+def run_check():
+    from mulit_view_object_detection_tpu.compat.model import MaskRCNN
+    from mulit_view_object_detection_tpu.utils.h5_fixture import (
+        write_h5_from_inventory)
+
+    fx = np.load(FIXTURE)
+    with open(INVENTORY) as f:
+        inventory = json.load(f)
+
+    h5 = "/tmp/check_multiview_golden.h5"
+    write_h5_from_inventory(h5, inventory, seed=GOLDEN_MV["seed"])
+
+    cfg = build_config()
+    engine = MaskRCNN("inference", cfg, "/tmp/check_mv_logs")
+    engine.load_weights(h5, by_name=True)
+
+    views = np.asarray(fx["views"])
+    r = engine.detect([views], Rcam=np.asarray(fx["Rcam"]),
+                      Kmat=np.asarray(fx["Kmat"]))[0]
+
+    g_rois = np.asarray(fx["rois"], np.float32)
+    g_cls = np.asarray(fx["class_ids"])
+    g_scores = np.asarray(fx["scores"])
+    g_masks = np.asarray(fx["masks"])
+    n_gold, n_ours = len(g_cls), len(r["class_ids"])
+
+    matched, score_err, mask_iou_min = 0, 0.0, 1.0
+    used = set()
+    for gi in range(n_gold):
+        best, best_iou = None, 0.0
+        for oi in range(n_ours):
+            if oi in used or r["class_ids"][oi] != g_cls[gi]:
+                continue
+            v = iou(g_rois[gi], r["rois"][oi].astype(np.float32))
+            if v > best_iou:
+                best, best_iou = oi, v
+        if best is None or best_iou < 0.9:
+            continue
+        used.add(best)
+        matched += 1
+        score_err = max(score_err,
+                        abs(float(r["scores"][best]) - float(g_scores[gi])))
+        gm, om = g_masks[..., gi], np.asarray(
+            r["masks"][..., best]).astype(bool)
+        union = np.logical_or(gm, om).sum()
+        if union:
+            mask_iou_min = min(mask_iou_min,
+                               np.logical_and(gm, om).sum() / union)
+
+    ok = (matched >= n_gold - 1 and abs(n_gold - n_ours) <= 1
+          and score_err < 0.02 and mask_iou_min > 0.8)
+    result = {
+        "metric": "multiview_fullgraph_parity",
+        "reference_detections": int(n_gold),
+        "our_detections": int(n_ours),
+        "matched_iou90_same_class": int(matched),
+        "max_score_err": round(score_err, 5),
+        "min_mask_iou": round(float(mask_iou_min), 4),
+        "ok": bool(ok),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    res = run_check()
+    with open(os.path.join(REPO, "MULTIVIEW_PARITY_r04.json"), "w") as f:
+        json.dump(res, f, indent=1)
+    raise SystemExit(0 if res["ok"] else 1)

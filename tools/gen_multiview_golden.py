@@ -1,0 +1,315 @@
+"""Generate a FULL-GRAPH MULTI-VIEW parity golden from the reference.
+
+Runs the reference's complete multi-view inference pipeline
+(mrcnn/model_multi.py:2300-2560 build + :3019-3082 detect — per-view
+resnet50/FPN, unproj_feat voxel unprojection, conv3d U-Net grid fusion,
+proj_grid reprojection, depth_sampling collapse, zeroed PG2/PG3 memory
+cap, RPN/heads/DetectionLayer) on deterministic name-seeded weights and
+a fixed 2-view input with known extrinsics/intrinsics, then saves input
++ detections/masks to tests/fixtures/golden_multiview.npz and the weight
+INVENTORY (layer/weight names + shapes) to
+tests/fixtures/golden_multiview_layers.json.
+
+tools/check_multiview_golden.py reconstructs the same weights from the
+inventory (utils.h5_fixture.write_h5_from_inventory), loads them through
+the repo's h5 importer — exercising the multi-view fork's checkpoint
+protocol end to end — runs the repo's engine on the same input, and
+compares final detections. This is BASELINE config #2's whole-graph
+check: projection geometry, fusion, collapse, routing and heads all sit
+between input and output.
+
+The graph is built at the reference's REQUIRED 640^2 geometry
+(proj_grid sizes are hardcoded to 160/80/40/20/10 at
+model_multi.py:2393-2397), with a small voxel grid (16^3, samples=4) to
+keep the CPU run tractable.
+
+Run (CPU, ~5-15 min): python tools/gen_multiview_golden.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURE = os.path.join(REPO, "tests", "fixtures", "golden_multiview.npz")
+INVENTORY = os.path.join(REPO, "tests", "fixtures",
+                         "golden_multiview_layers.json")
+H5_PATH = "/tmp/golden_multiview.h5"
+
+# shared operating point (mirrored by tools/check_multiview_golden.py)
+GOLDEN_MV = dict(num_classes=4, num_views=2, top_down=64, fc_size=128,
+                 image_size=640, nvox=16, nvox_z=16, vmin=-2.0, vmax=2.0,
+                 vmin_z=1.0, vmax_z=7.0, samples=4, seed=13, image_seed=29,
+                 # anchors x2 vs default: top-k proposals come from the
+                 # 256 px tier, which ROUTES to the fused P4 — with the
+                 # default ladder every winning proposal is a 128 px box
+                 # that routes to the ZEROED P3 and classifies BG
+                 anchor_scales=(64, 128, 256, 512, 1024))
+
+
+def install_multiview_shims():
+    """Everything model_multi.py needs on top of gen_fullgraph_golden's
+    shims: more TF1 aliases, the keras session bootstrap, contrib.slim,
+    closure-captured-KerasTensor Lambdas, and a stubbed mrcnn.recurrent
+    (conv3d fusion never instantiates the ConvLSTM)."""
+    from tools.gen_fullgraph_golden import install_shims
+    tf = install_shims()
+
+    tf.matrix_transpose = tf.linalg.matrix_transpose
+    tf.matrix_triangular_solve = tf.linalg.triangular_solve
+    tf.variable_scope = tf.compat.v1.variable_scope
+    tf.ConfigProto = tf.compat.v1.ConfigProto
+    tf.Session = tf.compat.v1.Session
+
+    import tf_keras
+    tb = types.ModuleType("keras.backend.tensorflow_backend")
+    tb.set_session = lambda sess: None
+    sys.modules["keras.backend.tensorflow_backend"] = tb
+    tf_keras.backend.tensorflow_backend = tb
+
+    contrib = types.ModuleType("tensorflow.contrib")
+    slim = types.ModuleType("tensorflow.contrib.slim")
+    slim.initializers = types.SimpleNamespace(
+        xavier_initializer=lambda *a, **k: "glorot_uniform")
+    contrib.slim = slim
+    sys.modules["tensorflow.contrib"] = contrib
+    sys.modules["tensorflow.contrib.slim"] = slim
+    tf.contrib = contrib
+
+    # keras 2.0.8 Lambdas may CAPTURE symbolic tensors in their closure
+    # (model_multi.py:438 concats `deconv1` from an enclosing scope);
+    # tf_keras requires every symbolic input to flow through the call.
+    # Lift closure-captured KerasTensors into extra inputs and rebind
+    # the closure cells to the traced tensors at call time.
+    from tf_keras.src.engine.keras_tensor import KerasTensor
+    _KL_Lambda = tf_keras.layers.Lambda
+
+    def closure_lifting_lambda(function, **kwargs):
+        cells, kts = [], []
+        for cell in (function.__closure__ or ()):
+            try:
+                v = cell.cell_contents
+            except ValueError:
+                continue
+            if isinstance(v, KerasTensor):
+                cells.append(cell)
+                kts.append(v)
+        if not kts:
+            return _KL_Lambda(function, **kwargs)
+
+        class _Bound:
+            def __call__(self, inputs, **ckw):
+                orig_is_list = isinstance(inputs, (list, tuple))
+                orig = list(inputs) if orig_is_list else [inputs]
+                n = len(orig)
+
+                def wrapped(args):
+                    for cell, t in zip(cells, args[n:]):
+                        cell.cell_contents = t
+                    base = args[:n]
+                    return function(base if orig_is_list else base[0])
+
+                return _KL_Lambda(wrapped, **kwargs)(orig + kts, **ckw)
+
+        return _Bound()
+
+    tf_keras.layers.Lambda = closure_lifting_lambda
+
+    # The reference computes unclipped bilinear taps and relies on
+    # tf.gather_nd's GPU zero-fill for out-of-bounds indices
+    # (model_multi.py:190-215); on CPU the same op ERRORS. Reproduce the
+    # GPU semantics: clip for safety, zero the invalid rows. (The repo's
+    # ops/projection.py implements exactly this contract natively.)
+    _gnd = tf.gather_nd
+
+    def _gpu_like_gather_nd(params, indices, **kw):
+        nd = indices.shape[-1]
+        lims = tf.cast(tf.shape(params)[:nd], indices.dtype)
+        valid = tf.reduce_all((indices >= 0) & (indices < lims), axis=-1)
+        out = _gnd(params, tf.clip_by_value(indices, 0, lims - 1), **kw)
+        extra = params.shape.rank - int(nd)
+        v = tf.reshape(
+            tf.cast(valid, out.dtype),
+            tf.concat([tf.shape(valid),
+                       tf.ones([extra], tf.int32)], axis=0))
+        return out * v
+
+    tf.gather_nd = _gpu_like_gather_nd
+
+    # TF1 tf.zeros tolerated float dims (the zeroed-PG shapes use `/`)
+    _tf_zeros = tf.zeros
+    tf.zeros = lambda shape, *a, **k: _tf_zeros(
+        [int(s) if isinstance(s, float) else s for s in shape]
+        if isinstance(shape, (list, tuple)) else shape, *a, **k)
+
+    rec = types.ModuleType("mrcnn.recurrent")
+
+    class _Unavailable:
+        def __init__(self, *a, **k):
+            raise RuntimeError("ConvRNN3D/ConvLSTMCell stubbed out — the "
+                               "conv3d golden never builds lstm3d")
+
+    rec.ConvRNN3D = _Unavailable
+    rec.ConvLSTMCell = _Unavailable
+    sys.modules["mrcnn.recurrent"] = rec
+    return tf
+
+
+def patch_modellib(tf, modellib):
+    def repeat_tensor_tf2(T, nrep, rep_dim=1):
+        """model_multi.py:331-336 builds the tile vector via a
+        tf.Variable scatter-assign, which can't be created inside a
+        tf.function; same expand+tile with the one-hot update expressed
+        functionally."""
+        repT = tf.expand_dims(T, rep_dim)
+        r = tf.rank(repT)
+        tile_dim = (tf.ones([r], tf.int32)
+                    + tf.one_hot(rep_dim, r, dtype=tf.int32) * (nrep - 1))
+        return tf.tile(repT, tile_dim)
+
+    modellib.repeat_tensor = repeat_tensor_tf2
+
+    # same static-shape re-pin as the single-view golden
+    _det_call = modellib.DetectionLayer.call
+
+    def _pinned_det_call(self, inputs):
+        rois, probs, deltas, meta = inputs
+        b = self.config.BATCH_SIZE
+        n = self.config.POST_NMS_ROIS_INFERENCE
+        rois.set_shape((b, n, 4))
+        probs.set_shape((b, n, self.config.NUM_CLASSES))
+        deltas.set_shape((b, n, self.config.NUM_CLASSES, 4))
+        return _det_call(self, [rois, probs, deltas, meta])
+
+    modellib.DetectionLayer.call = _pinned_det_call
+
+
+def reference_config_cls(Config):
+    g = GOLDEN_MV
+
+    class GoldenMVConfig(Config):
+        NAME = "golden_multiview"
+        GPU_COUNT = 1
+        IMAGES_PER_GPU = 1
+        NUM_CLASSES = g["num_classes"]
+        NUM_VIEWS = g["num_views"]
+        BACKBONE = "resnet50"
+        TOP_DOWN_PYRAMID_SIZE = g["top_down"]
+        FPN_CLASSIF_FC_LAYERS_SIZE = g["fc_size"]
+        IMAGE_MIN_DIM = g["image_size"]
+        IMAGE_MAX_DIM = g["image_size"]
+        RPN_ANCHOR_SCALES = g["anchor_scales"]
+        PRE_NMS_LIMIT = 512
+        POST_NMS_ROIS_INFERENCE = 100
+        DETECTION_MAX_INSTANCES = 10
+        DETECTION_MIN_CONFIDENCE = 0.0
+        GRID_REAS = "conv3d"
+        VANILLA = False
+        nvox = g["nvox"]
+        nvox_z = g["nvox_z"]
+        vmin = g["vmin"]
+        vmax = g["vmax"]
+        vmin_z = g["vmin_z"]
+        vmax_z = g["vmax_z"]
+        vsize = float(g["vmax"] - g["vmin"]) / g["nvox"]
+        vsize_z = float(g["vmax_z"] - g["vmin_z"]) / g["nvox_z"]
+        samples = g["samples"]
+
+    return GoldenMVConfig
+
+
+def golden_views():
+    """Deterministic 2-view input: blocky structure + noise, plus the
+    InteriorNet-style intrinsics and a small-baseline second camera."""
+    g = GOLDEN_MV
+    rng = np.random.RandomState(g["image_seed"])
+    s = g["image_size"]
+    views = []
+    for _ in range(g["num_views"]):
+        img = rng.randint(0, 255, (s // 32, s // 32, 3), np.uint8)
+        img = np.kron(img, np.ones((32, 32, 1), np.uint8))
+        img = img.astype(np.int32) + rng.randint(-20, 20, (s, s, 3))
+        views.append(np.clip(img, 0, 255).astype(np.uint8))
+    Kmat = np.array([[[600.0, 0, 320], [0, 600, 320], [0, 0, 1]]],
+                    np.float32)
+    # cam->world [R|t]: view 0 at origin, view 1 shifted + slightly
+    # rotated about y
+    th = 0.08
+    Ry = np.array([[np.cos(th), 0, np.sin(th)],
+                   [0, 1, 0],
+                   [-np.sin(th), 0, np.cos(th)]], np.float32)
+    Rcam = np.zeros((1, g["num_views"], 3, 4), np.float32)
+    Rcam[0, 0, :, :3] = np.eye(3)
+    Rcam[0, 1, :, :3] = Ry
+    Rcam[0, 1, :, 3] = [0.3, 0.05, 0.1]
+    return np.stack(views), Rcam, Kmat
+
+
+def main():
+    sys.path.insert(0, REPO)
+    tf = install_multiview_shims()
+
+    sys.path.insert(0, "/root/reference")
+    from mrcnn import model_multi as modellib
+    from mrcnn.config import Config
+
+    patch_modellib(tf, modellib)
+
+    from mulit_view_object_detection_tpu.utils.h5_fixture import (
+        write_h5_from_inventory)
+
+    cfg = reference_config_cls(Config)()
+    model = modellib.MaskRCNN("inference", cfg, "/tmp/golden_mv_logs")
+
+    # model_multi.detect feeds image_metas with a [NUM_VIEWS, meta] lead
+    # dim against batch-1 everything else (model_multi.py:3043/3068).
+    # keras 2.0.8's predict sliced every input to the batch range, so the
+    # graph only ever saw meta[0:1] (view 0's meta); tf_keras validates
+    # cardinality instead. Reproduce the original slicing.
+    _orig_predict = model.keras_model.predict
+
+    def _sliced_predict(inputs, **kw):
+        b = cfg.BATCH_SIZE
+        return _orig_predict([a[:b] for a in inputs], **kw)
+
+    model.keras_model.predict = _sliced_predict
+
+    inventory = []
+    for layer in model.keras_model.layers:
+        if layer.weights:
+            inventory.append({
+                "layer": layer.name,
+                "weights": [{"name": w.name, "shape": [int(d) for d in
+                                                       w.shape]}
+                            for w in layer.weights],
+            })
+    with open(INVENTORY, "w") as f:
+        json.dump(inventory, f, indent=1)
+
+    write_h5_from_inventory(H5_PATH, inventory, seed=GOLDEN_MV["seed"])
+    # the reference's own by-name loader consumes the reconstructed file
+    model.load_weights(H5_PATH, by_name=True)
+
+    views, Rcam, Kmat = golden_views()
+    r = model.detect([views], Rcam, Kmat, verbose=0)[0]
+
+    np.savez_compressed(
+        FIXTURE,
+        views=views, Rcam=Rcam, Kmat=Kmat,
+        rois=r["rois"].astype(np.float32),
+        class_ids=r["class_ids"].astype(np.int32),
+        scores=r["scores"].astype(np.float32),
+        masks=r["masks"].astype(bool),
+        **{f"cfg_{k}": np.asarray(v) for k, v in GOLDEN_MV.items()})
+    print(f"wrote {FIXTURE}: {len(r['class_ids'])} detections, "
+          f"masks {r['masks'].shape}, "
+          f"scores [{r['scores'].min():.4f}, {r['scores'].max():.4f}]")
+
+
+if __name__ == "__main__":
+    main()
