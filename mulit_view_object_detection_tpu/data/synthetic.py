@@ -32,12 +32,15 @@ class SyntheticScene:
         c = image_size / 2.0
         self.K = np.array([[f, 0, c], [0, f, c], [0, 0, 1]], np.float64)
         # objects in the MAIN camera's viewing volume: x,y in [-1,1], z in [3,6]
-        z = rng.uniform(3.0, 6.0, num_objects)
         if obj_px_range is None:
-            half = rng.uniform(0.3, 0.6, num_objects)
+            # legacy draw ORDER preserved (x, y, z, half): same-seed scenes
+            # must stay identical to earlier rounds' runs/checkpoints
             cx = rng.uniform(-1.0, 1.0, num_objects)
             cy = rng.uniform(-1.0, 1.0, num_objects)
+            z = rng.uniform(3.0, 6.0, num_objects)
+            half = rng.uniform(0.3, 0.6, num_objects)
         else:
+            z = rng.uniform(3.0, 6.0, num_objects)
             # Target an on-screen size in PIXELS so the scene exercises a
             # chosen ROI-routing regime (ops/roi_align.py::roi_levels):
             # Mask R-CNN routes a box of side s px to P4 iff s >~ 224/sqrt(2)

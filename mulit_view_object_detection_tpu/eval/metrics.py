@@ -66,6 +66,31 @@ def compute_matches(gt_boxes, gt_class_ids, gt_masks,
     return gt_match, pred_match, overlaps
 
 
+def greedy_box_matches(ref_boxes, ref_class_ids, boxes, class_ids,
+                       iou_threshold=0.9):
+    """Greedy same-class BOX matching between two detection sets (pixel
+    or normalized boxes, same convention on both sides): each reference
+    detection claims its best-IoU unclaimed same-class counterpart.
+    Returns [(ref_i, other_i, iou)] for pairs with IoU >= threshold.
+    Used by the executed-reference parity checks
+    (tests/test_fullgraph_parity.py, tools/check_multiview_golden.py),
+    which match final detections rather than mask instances."""
+    overlaps = compute_overlaps_np(np.asarray(boxes, np.float32),
+                                   np.asarray(ref_boxes, np.float32))
+    matches, used = [], set()
+    for gi in range(len(ref_boxes)):
+        best, best_iou = None, 0.0
+        for oi in range(len(boxes)):
+            if oi in used or class_ids[oi] != ref_class_ids[gi]:
+                continue
+            if overlaps[oi, gi] > best_iou:
+                best, best_iou = oi, overlaps[oi, gi]
+        if best is not None and best_iou >= iou_threshold:
+            used.add(best)
+            matches.append((gi, best, float(best_iou)))
+    return matches
+
+
 def compute_ap(gt_boxes, gt_class_ids, gt_masks,
                pred_boxes, pred_class_ids, pred_scores, pred_masks,
                iou_threshold=0.5):

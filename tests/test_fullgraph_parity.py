@@ -62,17 +62,6 @@ def _config():
     return GoldenConfig()
 
 
-def _iou(a, b):
-    y1 = np.maximum(a[0], b[0])
-    x1 = np.maximum(a[1], b[1])
-    y2 = np.minimum(a[2], b[2])
-    x2 = np.minimum(a[3], b[3])
-    inter = max(y2 - y1, 0) * max(x2 - x1, 0)
-    area = lambda t: max(t[2] - t[0], 0) * max(t[3] - t[1], 0)  # noqa: E731
-    union = area(a) + area(b) - inter
-    return inter / union if union > 0 else 0.0
-
-
 def test_fullgraph_detection_parity(fx, tmp_path):
     from mulit_view_object_detection_tpu.compat.model import MaskRCNN
     from mulit_view_object_detection_tpu.utils.h5_fixture import (
@@ -97,30 +86,23 @@ def test_fullgraph_detection_parity(fx, tmp_path):
     g_scores = np.asarray(fx["scores"])
     g_masks = np.asarray(fx["masks"])
 
+    from mulit_view_object_detection_tpu.eval.metrics import (
+        greedy_box_matches)
+
     n_gold = len(g_cls)
     n_ours = len(r["class_ids"])
     assert abs(n_gold - n_ours) <= 1, (
         f"detection count diverged: reference {n_gold}, ours {n_ours}")
 
-    matched = 0
-    used = set()
-    for gi in range(n_gold):
-        best, best_iou = None, 0.0
-        for oi in range(n_ours):
-            if oi in used or r["class_ids"][oi] != g_cls[gi]:
-                continue
-            iou = _iou(g_rois[gi], r["rois"][oi].astype(np.float32))
-            if iou > best_iou:
-                best, best_iou = oi, iou
-        if best is None or best_iou < 0.9:
-            continue
-        used.add(best)
-        matched += 1
-        assert abs(float(r["scores"][best]) - float(g_scores[gi])) < 0.02, (
+    matches = greedy_box_matches(g_rois, g_cls,
+                                 np.asarray(r["rois"], np.float32),
+                                 r["class_ids"], iou_threshold=0.9)
+    for gi, oi, _ in matches:
+        assert abs(float(r["scores"][oi]) - float(g_scores[gi])) < 0.02, (
             f"score diverged on matched detection {gi}: "
-            f"{g_scores[gi]} vs {r['scores'][best]}")
+            f"{g_scores[gi]} vs {r['scores'][oi]}")
         gm = g_masks[..., gi]
-        om = np.asarray(r["masks"][..., best]).astype(bool)
+        om = np.asarray(r["masks"][..., oi]).astype(bool)
         inter = np.logical_and(gm, om).sum()
         union = np.logical_or(gm, om).sum()
         if union:
@@ -128,8 +110,8 @@ def test_fullgraph_detection_parity(fx, tmp_path):
                 f"mask diverged on matched detection {gi}: "
                 f"IoU {inter / union:.3f}")
     # tolerate ONE tie-order tail casualty from cross-backend fp drift
-    assert matched >= n_gold - 1, (
-        f"only {matched}/{n_gold} reference detections matched "
+    assert len(matches) >= n_gold - 1, (
+        f"only {len(matches)}/{n_gold} reference detections matched "
         f"(class+IoU>=0.9)")
 
 

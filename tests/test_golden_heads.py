@@ -73,7 +73,8 @@ def test_classifier_head_golden(fx, loaded_state):
 def test_mask_head_golden(fx, loaded_state):
     from mulit_view_object_detection_tpu.models.heads import MaskHead
     cfg, state = loaded_state
-    head = MaskHead(cfg.NUM_CLASSES, 256, train_bn=False)
+    head = MaskHead(cfg.NUM_CLASSES, GOLDEN["mask_filters"],
+                    train_bn=False)
     variables = {"params": state.params["mask_head"],
                  "batch_stats": state.batch_stats["mask_head"]}
     masks = head.apply(variables, _pooled(fx, cfg.MASK_POOL_SIZE))

@@ -68,7 +68,7 @@ def main(argv=None):
 
     from mulit_view_object_detection_tpu.data import augment
     from mulit_view_object_detection_tpu.data.generator import (
-        BatchPrefetcher, ProcessPrefetcher)
+        _ERROR_TAG, BatchPrefetcher, ProcessPrefetcher)
     from mulit_view_object_detection_tpu.data.synthetic import (
         SyntheticMultiViewDataset)
 
@@ -97,7 +97,7 @@ def main(argv=None):
                 # worker traceback
                 is_err = (item is getattr(type(pf), "_ERROR", None)
                           or (isinstance(item, tuple) and len(item) == 2
-                              and item[0] == "__prefetch_error__"))
+                              and item[0] == _ERROR_TAG))
                 if is_err:
                     pf._queue.put(item)
                     break

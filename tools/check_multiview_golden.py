@@ -45,8 +45,10 @@ def build_config():
         NUM_CLASSES = g["num_classes"]
         NUM_VIEWS = g["num_views"]
         BACKBONE = "resnet50"
-        # the reference's model_multi.py resnet50 stage 4 has 5 blocks
-        # in BOTH model.py and model_multi.py (same {"resnet50": 5} map)
+        # the multi-view fork's resnet50 stage 4 has 5 bottleneck blocks
+        # (model_multi.py:596 {"resnet50": 5}); the single-view model.py
+        # uses 3 — so the single-view golden (test_fullgraph_parity)
+        # deliberately does NOT set this
         RESNET50_STAGE4_BLOCKS = 5
         TOP_DOWN_PYRAMID_SIZE = g["top_down"]
         FPN_CLASSIF_FC_LAYERS_SIZE = g["fc_size"]
@@ -72,17 +74,10 @@ def build_config():
     return GoldenMVConfig()
 
 
-def iou(a, b):
-    y1, x1 = max(a[0], b[0]), max(a[1], b[1])
-    y2, x2 = min(a[2], b[2]), min(a[3], b[3])
-    inter = max(y2 - y1, 0) * max(x2 - x1, 0)
-    area = lambda t: max(t[2] - t[0], 0) * max(t[3] - t[1], 0)  # noqa: E731
-    union = area(a) + area(b) - inter
-    return inter / union if union > 0 else 0.0
-
-
 def run_check():
     from mulit_view_object_detection_tpu.compat.model import MaskRCNN
+    from mulit_view_object_detection_tpu.eval.metrics import (
+        greedy_box_matches)
     from mulit_view_object_detection_tpu.utils.h5_fixture import (
         write_h5_from_inventory)
 
@@ -107,24 +102,15 @@ def run_check():
     g_masks = np.asarray(fx["masks"])
     n_gold, n_ours = len(g_cls), len(r["class_ids"])
 
-    matched, score_err, mask_iou_min = 0, 0.0, 1.0
-    used = set()
-    for gi in range(n_gold):
-        best, best_iou = None, 0.0
-        for oi in range(n_ours):
-            if oi in used or r["class_ids"][oi] != g_cls[gi]:
-                continue
-            v = iou(g_rois[gi], r["rois"][oi].astype(np.float32))
-            if v > best_iou:
-                best, best_iou = oi, v
-        if best is None or best_iou < 0.9:
-            continue
-        used.add(best)
-        matched += 1
+    matches = greedy_box_matches(g_rois, g_cls,
+                                 np.asarray(r["rois"], np.float32),
+                                 r["class_ids"], iou_threshold=0.9)
+    matched, score_err, mask_iou_min = len(matches), 0.0, 1.0
+    for gi, oi, _ in matches:
         score_err = max(score_err,
-                        abs(float(r["scores"][best]) - float(g_scores[gi])))
+                        abs(float(r["scores"][oi]) - float(g_scores[gi])))
         gm, om = g_masks[..., gi], np.asarray(
-            r["masks"][..., best]).astype(bool)
+            r["masks"][..., oi]).astype(bool)
         union = np.logical_or(gm, om).sum()
         if union:
             mask_iou_min = min(mask_iou_min,

@@ -524,7 +524,13 @@ def main(argv=None):
         ap_by, loss_by = {}, {}
         with open(hist_path) as f:
             for line in f:
-                e = json.loads(line)
+                # a segment SIGKILLed mid-append leaves a partial last
+                # line; the rebuilt trajectory must survive it (this
+                # sidecar exists BECAUSE segments get killed)
+                try:
+                    e = json.loads(line)
+                except ValueError:
+                    continue
                 (ap_by if "ap50" in e else loss_by)[e["step"]] = e
         if ap_by:
             history = [ap_by[s] for s in sorted(ap_by)]
