@@ -1,5 +1,7 @@
 """Multi-device tests on the 8-device virtual CPU mesh (conftest)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -226,12 +228,9 @@ def test_tensor_parallel_train_step_exact():
     GSPMD propagates the shardings through forward/backward, so this also
     proves TP composes with data parallelism in one compiled program.
 
-    Mesh note: view sharding combined with model-sharded conv kernels is
-    NOT exercised here — XLA:CPU's partitioner heap-crashes compiling
-    that combination (free(): invalid pointer, jax 0.9 / 8 virtual CPU
-    devices; reproduced standalone — batch-dim sharding via `data` with
-    the same kernels compiles and matches, so the rule itself is sound).
-    The TPU partitioner is the production path for view x model."""
+    Mesh note: view x model is exercised separately
+    (test_view_model_tp_train_step_exact, RUN_HEAVY_PARITY-gated — the
+    round-3 XLA:CPU partitioner crash no longer reproduces)."""
     import __graft_entry__ as g
     from mulit_view_object_detection_tpu.models.detector import (
         MaskRCNN, make_dummy_batch)
@@ -303,3 +302,56 @@ def test_tensor_parallel_train_step_exact():
                  if hasattr(x, "sharding")]
     assert sum(1 for s in out_specs if s and s[-1] == "model") >= n_tp, (
         "updated params lost their model sharding")
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_HEAVY_PARITY"),
+                    reason="multi-minute XLA:CPU partition compile; "
+                           "set RUN_HEAVY_PARITY=1")
+def test_view_model_tp_train_step_exact():
+    """VIEW x MODEL (x data) on one mesh: view-sharded activations
+    hitting model-sharded conv kernels. Round 3 documented this
+    combination as heap-crashing the XLA:CPU partitioner; as of round 4
+    (jax 0.9.0, same version) the crash no longer reproduces, so the
+    full (2 data x 2 view x 2 model) composition is exactness-tested
+    here instead of being a TPU-only claim."""
+    import __graft_entry__ as g
+    from mulit_view_object_detection_tpu.models.detector import (
+        MaskRCNN, make_dummy_batch)
+    from mulit_view_object_detection_tpu.parallel.mesh import (
+        shard_state_tp)
+    from mulit_view_object_detection_tpu.train.step import (
+        create_train_state, make_train_step)
+
+    cfg = g._flagship_config(image_size=64, tiny=True)
+    cfg.GPU_COUNT = 1
+    cfg.IMAGES_PER_GPU = 2
+    cfg.BATCH_SIZE = 2
+    model = MaskRCNN(cfg)
+    batch = make_dummy_batch(cfg, training=True, batch_size=2,
+                             num_views=2, image_size=64)
+    rng = np.random.RandomState(11)
+    batch["images"] = rng.randn(*batch["images"].shape).astype(
+        np.float32) * 30.0
+    batch["gt_class_ids"][:, 0] = 1
+    batch["gt_boxes"][:, 0] = [0.2, 0.2, 0.7, 0.7]
+    batch["gt_masks"][:, 0] = 1.0
+    batch["rpn_match"] = np.zeros((2, batch["anchors"].shape[0]), np.int32)
+    batch["rpn_match"][:, :8] = 1
+    batch["rpn_match"][:, 8:64] = -1
+    batch["rpn_bbox"] = np.zeros(
+        (2, cfg.RPN_TRAIN_ANCHORS_PER_IMAGE, 4), np.float32)
+
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
+    train_step = make_train_step(cfg, stage="all", donate=False)
+    key = jax.random.PRNGKey(5)
+    _, ref_metrics = train_step(state, batch, key)
+    ref_metrics = {k: float(v) for k, v in ref_metrics.items()}
+
+    mesh = make_mesh(data=2, view=2, model=2)
+    state_s = shard_state_tp(state, mesh)
+    batch_s = shard_batch(batch, batch_sharding(mesh, view_sharding=True))
+    _, metrics = train_step(state_s, batch_s, key)
+    for k, v in ref_metrics.items():
+        got = float(metrics[k])
+        assert abs(v - got) <= 1e-4 * max(1.0, abs(v)), (
+            f"metric {k}: view-x-model {got} vs single {v}")
