@@ -188,6 +188,14 @@ def load_h5_weights(h5_path, params, batch_stats=None, verbose=False,
             continue
         path, is_bn = _map_layer(lname)
         if path is None:
+            # TimeDistributed wrappers around UNNAMED sublayers (the
+            # fork's non-conv3d depth collapse, model_multi.py:483:
+            # KL.TimeDistributed(KL.Conv2D(1, (1,1)), name=...+'2DConv'))
+            # save their weights under the sublayer's AUTO-GENERATED
+            # name ('conv2d_57/kernel:0'); the addressable identity is
+            # then the saved (outer) layer name
+            path, is_bn = _map_layer(outer_of.get(lname, lname))
+        if path is None:
             skipped.append(lname)
             continue
         try:

@@ -146,3 +146,37 @@ def test_conv3d_transpose_import_numeric(tmp_path, lname, sub):
     out = deconv.apply({"params": params["grid_fusion_p4"][sub]},
                        jnp.asarray(x))
     assert out.shape == (1, 8, 8, 8, cout)
+
+
+def test_timedistributed_autonamed_inner_import(tmp_path):
+    """The fork's non-conv3d depth collapse saves its TimeDistributed-
+    wrapped UNNAMED Conv2D under an auto-generated inner name
+    ('conv2d_57/kernel:0', model_multi.py:483); the importer must fall
+    back to the saved (outer) layer name to map it."""
+    import h5py
+    from mulit_view_object_detection_tpu.models.fusion import DepthCollapse
+    from mulit_view_object_detection_tpu.utils.h5_import import (
+        load_h5_weights)
+
+    rng = np.random.RandomState(3)
+    d = 4                                    # ray samples
+    kernel = rng.randn(1, 1, d, 1).astype(np.float32)
+    bias = rng.randn(1).astype(np.float32)
+    h5 = str(tmp_path / "td.h5")
+    with h5py.File(h5, "w") as f:
+        f.attrs["layer_names"] = np.array([b"grid_reas_depth_PG42DConv"])
+        g = f.create_group("grid_reas_depth_PG42DConv")
+        g.create_dataset("conv2d_57/kernel:0", data=kernel)
+        g.create_dataset("conv2d_57/bias:0", data=bias)
+        g.attrs["weight_names"] = np.array(
+            [b"conv2d_57/kernel:0", b"conv2d_57/bias:0"])
+
+    collapse = DepthCollapse("add", channels=5, samples=d)
+    x = rng.randn(1, d, 6, 6, 5).astype(np.float32)
+    variables = collapse.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params, _, report = load_h5_weights(
+        h5, {"depth_collapse_p4": variables["params"]})
+    assert report["loaded"] == ["conv2d_57"]
+    got = params["depth_collapse_p4"]["collapse"]
+    np.testing.assert_array_equal(got["kernel"], kernel)
+    np.testing.assert_array_equal(got["bias"], bias)
