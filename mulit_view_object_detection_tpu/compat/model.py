@@ -391,7 +391,8 @@ class MaskRCNN:
         rx = _re.compile(pattern)
         if images is None:
             names = ["rpn_class_logits", "rpn_probs", "rpn_bbox",
-                     "proposals", "mrcnn_class_logits", "mrcnn_probs",
+                     "proposals", "fused_p2", "fused_p3", "fused_p4",
+                     "fused_p5", "mrcnn_class_logits", "mrcnn_probs",
                      "mrcnn_bbox", "detections", "mrcnn_masks"]
             return [n for n in names if rx.search(n)]
         result = self.run_graph(images, outputs=None, **kwargs)

@@ -191,6 +191,11 @@ class MaskRCNN(nn.Module):
             "rpn_probs": rpn_probs,
             "rpn_bbox": rpn_bbox,
             "proposals": proposals,
+            # post-fusion pyramid (the reference's PG2..PG5): named so
+            # run_graph/ancestor can pull them for partial-graph
+            # debugging and parity bisection
+            **{f"fused_p{li + 2}": fm
+               for li, fm in enumerate(mrcnn_feature_maps)},
         }
 
         if training:

@@ -32,11 +32,20 @@ def _sample_coords(lo, hi, extent_minus_1, size):
 
     lo, hi: [...] normalized box edges. extent_minus_1: [...] (H-1 or W-1).
     Returns [..., size] absolute (pixel) sample coordinates.
-    """
+
+    Computed as a convex combination with EXACT endpoints (t is exactly
+    0/1 at the first/last sample, and multiplies by exact 0/1 are exact
+    under any fusion): the accumulation form `lo*e + i*step` can land
+    1 ulp ABOVE (hi * e) once XLA fuses it into an FMA, and for a box
+    edge at exactly 1.0 that pushed the boundary tap past the
+    `<= extent-1` validity bound — the whole tap column was then zeroed
+    where TF keeps it in-bounds (caught by the multi-view full-graph
+    golden: a full-width detection's mask lost its right edge)."""
     steps = jnp.arange(size, dtype=jnp.float32)
     if size > 1:
-        return (lo[..., None] * extent_minus_1[..., None]
-                + steps * ((hi - lo) * extent_minus_1 / (size - 1))[..., None])
+        t = steps / (size - 1)
+        return ((lo[..., None] * (1.0 - t) + hi[..., None] * t)
+                * extent_minus_1[..., None])
     return (0.5 * (lo + hi) * extent_minus_1)[..., None] + 0.0 * steps
 
 

@@ -69,7 +69,11 @@ def test_inventory_h5_round_trip(tmp_path):
 @pytest.mark.skipif(not os.environ.get("RUN_HEAVY_PARITY"),
                     reason="640^2 CPU compile (~5-10 min); "
                            "set RUN_HEAVY_PARITY=1")
-def test_multiview_fullgraph_parity():
+@pytest.mark.parametrize("grid_reas", ["conv3d", "ident", "add"])
+def test_multiview_fullgraph_parity(grid_reas):
     from tools.check_multiview_golden import run_check
-    res = run_check()
+    from tools.gen_multiview_golden import fixture_paths
+    if not os.path.exists(fixture_paths(grid_reas)[0]):
+        pytest.skip(f"no committed golden for {grid_reas}")
+    res = run_check(grid_reas)
     assert res["ok"], res

@@ -27,14 +27,11 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-FIXTURE = os.path.join(REPO, "tests", "fixtures", "golden_multiview.npz")
-INVENTORY = os.path.join(REPO, "tests", "fixtures",
-                         "golden_multiview_layers.json")
-
-from tools.gen_multiview_golden import GOLDEN_MV  # noqa: E402
+from tools.gen_multiview_golden import (  # noqa: E402
+    GOLDEN_MV, fixture_paths)
 
 
-def build_config():
+def build_config(grid_reas="conv3d"):
     from mulit_view_object_detection_tpu.config import Config
     g = GOLDEN_MV
 
@@ -59,7 +56,7 @@ def build_config():
         POST_NMS_ROIS_INFERENCE = 100
         DETECTION_MAX_INSTANCES = 10
         DETECTION_MIN_CONFIDENCE = 0.0
-        GRID_REAS = "conv3d"
+        GRID_REAS = grid_reas
         ZERO_PG_LEVELS = (0, 1)
         nvox = g["nvox"]
         nvox_z = g["nvox_z"]
@@ -74,27 +71,45 @@ def build_config():
     return GoldenMVConfig()
 
 
-def run_check():
+def run_check(grid_reas="conv3d"):
     from mulit_view_object_detection_tpu.compat.model import MaskRCNN
     from mulit_view_object_detection_tpu.eval.metrics import (
         greedy_box_matches)
     from mulit_view_object_detection_tpu.utils.h5_fixture import (
         write_h5_from_inventory)
 
-    fx = np.load(FIXTURE)
-    with open(INVENTORY) as f:
+    fixture, inventory_path = fixture_paths(grid_reas)
+    fx = np.load(fixture)
+    with open(inventory_path) as f:
         inventory = json.load(f)
 
-    h5 = "/tmp/check_multiview_golden.h5"
+    h5 = f"/tmp/check_multiview_golden_{grid_reas}.h5"
     write_h5_from_inventory(h5, inventory, seed=GOLDEN_MV["seed"])
 
-    cfg = build_config()
+    cfg = build_config(grid_reas)
     engine = MaskRCNN("inference", cfg, "/tmp/check_mv_logs")
     engine.load_weights(h5, by_name=True)
 
     views = np.asarray(fx["views"])
     r = engine.detect([views], Rcam=np.asarray(fx["Rcam"]),
                       Kmat=np.asarray(fx["Kmat"]))[0]
+
+    # raw-tensor comparison (fixtures carry it from round 4 on): the
+    # numerically meaningful contract for masks — random-weight mask
+    # logits hover near the 0.5 binarization threshold, so unmolded-mask
+    # IoU amplifies micro-drift into missing/extra boundary bands
+    raw_err = None
+    if "raw_masks" in fx.files:
+        g = engine.run_graph([views], outputs=["detections",
+                                               "mrcnn_masks"],
+                             Rcam=np.asarray(fx["Rcam"]),
+                             Kmat=np.asarray(fx["Kmat"]))
+        raw_det_err = float(np.max(np.abs(
+            np.asarray(g["detections"])[0] - fx["raw_detections"])))
+        raw_mask_err = float(np.max(np.abs(
+            np.asarray(g["mrcnn_masks"])[0] - fx["raw_masks"])))
+        raw_err = {"raw_det_err": round(raw_det_err, 6),
+                   "raw_mask_err": round(raw_mask_err, 6)}
 
     g_rois = np.asarray(fx["rois"], np.float32)
     g_cls = np.asarray(fx["class_ids"])
@@ -117,9 +132,16 @@ def run_check():
                                np.logical_and(gm, om).sum() / union)
 
     ok = (matched >= n_gold - 1 and abs(n_gold - n_ours) <= 1
-          and score_err < 0.02 and mask_iou_min > 0.8)
+          and score_err < 0.02)
+    if raw_err is not None:
+        # raw mask probabilities are the mask gate (see above); the
+        # binarized-mask IoU stays reported for context
+        ok = ok and raw_err["raw_mask_err"] < 5e-3
+    else:
+        ok = ok and mask_iou_min > 0.8
     result = {
         "metric": "multiview_fullgraph_parity",
+        "grid_reas": grid_reas,
         "reference_detections": int(n_gold),
         "our_detections": int(n_ours),
         "matched_iou90_same_class": int(matched),
@@ -127,12 +149,28 @@ def run_check():
         "min_mask_iou": round(float(mask_iou_min), 4),
         "ok": bool(ok),
     }
+    if raw_err is not None:
+        result.update(raw_err)
     print(json.dumps(result))
     return result
 
 
 if __name__ == "__main__":
-    res = run_check()
-    with open(os.path.join(REPO, "MULTIVIEW_PARITY_r04.json"), "w") as f:
-        json.dump(res, f, indent=1)
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--grid-reas", default="conv3d",
+                    choices=["conv3d", "ident", "add"])
+    args = ap.parse_args()
+    res = run_check(args.grid_reas)
+    out = os.path.join(REPO, "MULTIVIEW_PARITY_r04.json")
+    existing = []
+    if os.path.exists(out):
+        with open(out) as f:
+            loaded = json.load(f)
+        existing = loaded if isinstance(loaded, list) else [loaded]
+    existing = [e for e in existing
+                if e.get("grid_reas", "conv3d") != args.grid_reas]
+    existing.append(res)
+    with open(out, "w") as f:
+        json.dump(existing, f, indent=1)
     raise SystemExit(0 if res["ok"] else 1)

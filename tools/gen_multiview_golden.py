@@ -189,7 +189,17 @@ def patch_modellib(tf, modellib):
     modellib.DetectionLayer.call = _pinned_det_call
 
 
-def reference_config_cls(Config):
+def fixture_paths(grid_reas):
+    """conv3d keeps the original unsuffixed fixture names."""
+    sfx = "" if grid_reas == "conv3d" else f"_{grid_reas}"
+    fixture = os.path.join(REPO, "tests", "fixtures",
+                           f"golden_multiview{sfx}.npz")
+    inventory = os.path.join(REPO, "tests", "fixtures",
+                             f"golden_multiview_layers{sfx}.json")
+    return fixture, inventory
+
+
+def reference_config_cls(Config, grid_reas="conv3d"):
     g = GOLDEN_MV
 
     class GoldenMVConfig(Config):
@@ -208,7 +218,7 @@ def reference_config_cls(Config):
         POST_NMS_ROIS_INFERENCE = 100
         DETECTION_MAX_INSTANCES = 10
         DETECTION_MIN_CONFIDENCE = 0.0
-        GRID_REAS = "conv3d"
+        GRID_REAS = grid_reas
         VANILLA = False
         nvox = g["nvox"]
         nvox_z = g["nvox_z"]
@@ -251,6 +261,17 @@ def golden_views():
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--grid-reas", default="conv3d",
+                    choices=["conv3d", "ident", "add"],
+                    help="fusion family to capture (one per process: the "
+                         "reference's reused_lay layer cache is a module "
+                         "GLOBAL, so a second build in the same process "
+                         "would silently share weights)")
+    args = ap.parse_args()
+    fixture, inventory_path = fixture_paths(args.grid_reas)
+
     sys.path.insert(0, REPO)
     tf = install_multiview_shims()
 
@@ -263,7 +284,7 @@ def main():
     from mulit_view_object_detection_tpu.utils.h5_fixture import (
         write_h5_from_inventory)
 
-    cfg = reference_config_cls(Config)()
+    cfg = reference_config_cls(Config, args.grid_reas)()
     model = modellib.MaskRCNN("inference", cfg, "/tmp/golden_mv_logs")
 
     # model_multi.detect feeds image_metas with a [NUM_VIEWS, meta] lead
@@ -288,7 +309,7 @@ def main():
                                                        w.shape]}
                             for w in layer.weights],
             })
-    with open(INVENTORY, "w") as f:
+    with open(inventory_path, "w") as f:
         json.dump(inventory, f, indent=1)
 
     write_h5_from_inventory(H5_PATH, inventory, seed=GOLDEN_MV["seed"])
@@ -298,15 +319,31 @@ def main():
     views, Rcam, Kmat = golden_views()
     r = model.detect([views], Rcam, Kmat, verbose=0)[0]
 
+    # raw detections + per-detection 28x28 mask PROBABILITIES: random-
+    # weight mask logits can hover near the 0.5 binarization threshold,
+    # where unmolded-mask IoU amplifies tiny numeric drift — the raw
+    # field is the numerically comparable contract
+    import keras.models as KM
+    km = model.keras_model
+    sub = KM.Model(km.inputs, [km.get_layer("mrcnn_detection").output,
+                               km.get_layer("mrcnn_mask").output])
+    molded, metas, _ = model.mold_inputs(views)
+    anchors = model.get_anchors(molded[0].shape)
+    raw_det, raw_masks = sub.predict(
+        [molded[None], metas[None][:, 0], anchors[None], Rcam, Kmat],
+        verbose=0)
+
     np.savez_compressed(
-        FIXTURE,
+        fixture,
         views=views, Rcam=Rcam, Kmat=Kmat,
         rois=r["rois"].astype(np.float32),
         class_ids=r["class_ids"].astype(np.int32),
         scores=r["scores"].astype(np.float32),
         masks=r["masks"].astype(bool),
+        raw_detections=raw_det[0].astype(np.float32),
+        raw_masks=raw_masks[0].astype(np.float32),
         **{f"cfg_{k}": np.asarray(v) for k, v in GOLDEN_MV.items()})
-    print(f"wrote {FIXTURE}: {len(r['class_ids'])} detections, "
+    print(f"wrote {fixture}: {len(r['class_ids'])} detections, "
           f"masks {r['masks'].shape}, "
           f"scores [{r['scores'].min():.4f}, {r['scores'].max():.4f}]")
 
