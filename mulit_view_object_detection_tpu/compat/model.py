@@ -391,9 +391,11 @@ class MaskRCNN:
         rx = _re.compile(pattern)
         if images is None:
             names = ["rpn_class_logits", "rpn_probs", "rpn_bbox",
-                     "proposals", "fused_p2", "fused_p3", "fused_p4",
-                     "fused_p5", "mrcnn_class_logits", "mrcnn_probs",
+                     "proposals", "mrcnn_class_logits", "mrcnn_probs",
                      "mrcnn_bbox", "detections", "mrcnn_masks"]
+            if getattr(self.config, "EXPOSE_FUSED_PYRAMID", False):
+                names[4:4] = ["fused_p2", "fused_p3", "fused_p4",
+                              "fused_p5"]
             return [n for n in names if rx.search(n)]
         result = self.run_graph(images, outputs=None, **kwargs)
         return {k: v for k, v in result.items() if rx.search(k)}

@@ -184,6 +184,10 @@ class Config:
                                 # model_multi.py:192-220); False keeps reference
                                 # semantics via index clamping.
     TRILINEAR_REPROJECTION = False  # reference uses nearest (model_multi.py:357-369)
+    EXPOSE_FUSED_PYRAMID = False  # True: run_graph/ancestor also return the
+                                # post-fusion PG2..PG5 maps (debug/parity
+                                # bisection; ~35 MB extra HBM output
+                                # buffers per 640^2 image when on)
     USE_PALLAS = True           # use Pallas kernels where available (TPU only)
     MESH_DATA_AXIS = "data"     # device mesh axis names
     MESH_VIEW_AXIS = "view"

@@ -191,12 +191,15 @@ class MaskRCNN(nn.Module):
             "rpn_probs": rpn_probs,
             "rpn_bbox": rpn_bbox,
             "proposals": proposals,
-            # post-fusion pyramid (the reference's PG2..PG5): named so
-            # run_graph/ancestor can pull them for partial-graph
-            # debugging and parity bisection
-            **{f"fused_p{li + 2}": fm
-               for li, fm in enumerate(mrcnn_feature_maps)},
         }
+        if getattr(cfg, "EXPOSE_FUSED_PYRAMID", False):
+            # post-fusion pyramid (the reference's PG2..PG5) for
+            # run_graph/ancestor partial-graph debugging and parity
+            # bisection. Opt-in: as jitted outputs these are ~35 MB of
+            # extra HBM buffers per 640^2 image that XLA can't DCE or
+            # reuse — never on the production detect() path.
+            outputs.update({f"fused_p{li + 2}": fm
+                            for li, fm in enumerate(mrcnn_feature_maps)})
 
         if training:
             rng = self.make_rng("sampling")

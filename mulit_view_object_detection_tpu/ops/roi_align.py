@@ -7,9 +7,12 @@ model.py:344-450 `PyramidROIAlign`). Neither survives XLA's static-shape
 model, so the TPU-native design is:
 
   * Exact `tf.image.crop_and_resize` bilinear semantics re-derived: for crop
-    size S>1 sample points are y = y1*(H-1) + i*(y2-y1)*(H-1)/(S-1); for S==1
-    the single point is the box center; samples outside [0, H-1]x[0, W-1]
-    return `extrapolation_value` (0).
+    size S>1 sample point i sits at the convex combination
+    (y1*(1 - i/(S-1)) + y2*(i/(S-1))) * (H-1) — mathematically TF's
+    y1*(H-1) + i*(y2-y1)*(H-1)/(S-1), but with EXACT endpoints so no
+    fusion can push a boundary tap past the validity bound (see
+    _sample_coords); for S==1 the single point is the box center; samples
+    outside [0, H-1]x[0, W-1] return `extrapolation_value` (0).
   * The per-box FPN level dispatch (model.py:389-393) becomes index
     arithmetic into ONE flattened pyramid buffer [B, sum(H_l*W_l), C]: each
     box computes its level, its level's (H, W, offset) and gathers its 4

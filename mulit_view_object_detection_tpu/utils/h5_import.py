@@ -186,6 +186,7 @@ def load_h5_weights(h5_path, params, batch_stats=None, verbose=False,
         if lname in exclude or outer_of.get(lname) in exclude:
             excluded.append(lname)
             continue
+        semantic_name = lname
         path, is_bn = _map_layer(lname)
         if path is None:
             # TimeDistributed wrappers around UNNAMED sublayers (the
@@ -193,8 +194,14 @@ def load_h5_weights(h5_path, params, batch_stats=None, verbose=False,
             # KL.TimeDistributed(KL.Conv2D(1, (1,1)), name=...+'2DConv'))
             # save their weights under the sublayer's AUTO-GENERATED
             # name ('conv2d_57/kernel:0'); the addressable identity is
-            # then the saved (outer) layer name
-            path, is_bn = _map_layer(outer_of.get(lname, lname))
+            # then the saved (outer) layer name. Only safe when the
+            # outer wraps exactly ONE weighted inner — two inners would
+            # silently overwrite each other at the same param path.
+            outer = outer_of.get(lname, lname)
+            siblings = [k for k, v in outer_of.items() if v == outer]
+            if outer != lname and len(siblings) == 1:
+                semantic_name = outer
+                path, is_bn = _map_layer(outer)
         if path is None:
             skipped.append(lname)
             continue
@@ -223,7 +230,7 @@ def load_h5_weights(h5_path, params, batch_stats=None, verbose=False,
                     # kernel is their concat along the input-channel axis
                     kernel = np.concatenate(
                         [kernel, weights["recurrent_kernel"]], axis=-2)
-                elif kernel is not None and "deconv" in lname:
+                elif kernel is not None and "deconv" in semantic_name:
                     # Keras Conv{2,3}DTranspose stores [k..., out, in] and
                     # computes the GRADIENT-of-conv deconvolution. Flax
                     # nn.ConvTranspose (transpose_kernel=False) computes a

@@ -73,7 +73,7 @@ def test_inventory_h5_round_trip(tmp_path):
 def test_multiview_fullgraph_parity(grid_reas):
     from tools.check_multiview_golden import run_check
     from tools.gen_multiview_golden import fixture_paths
-    if not os.path.exists(fixture_paths(grid_reas)[0]):
+    if not all(os.path.exists(p) for p in fixture_paths(grid_reas)):
         pytest.skip(f"no committed golden for {grid_reas}")
     res = run_check(grid_reas)
     assert res["ok"], res

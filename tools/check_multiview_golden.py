@@ -91,8 +91,17 @@ def run_check(grid_reas="conv3d"):
     engine.load_weights(h5, by_name=True)
 
     views = np.asarray(fx["views"])
-    r = engine.detect([views], Rcam=np.asarray(fx["Rcam"]),
-                      Kmat=np.asarray(fx["Kmat"]))[0]
+    # ONE forward pass: raw graph outputs, then the host-side unmold
+    # (the same tail engine.detect runs) for the pixel-space comparison
+    g = engine.run_graph([views], outputs=["detections", "mrcnn_masks"],
+                         Rcam=np.asarray(fx["Rcam"]),
+                         Kmat=np.asarray(fx["Kmat"]))
+    molded, _, windows = engine.mold_inputs(views)
+    rois_px, class_ids, scores, masks = engine.unmold_detections(
+        np.asarray(g["detections"])[0], np.asarray(g["mrcnn_masks"])[0],
+        views[0].shape, molded[0].shape, windows[0])
+    r = {"rois": rois_px, "class_ids": class_ids, "scores": scores,
+         "masks": masks}
 
     # raw-tensor comparison (fixtures carry it from round 4 on): the
     # numerically meaningful contract for masks — random-weight mask
@@ -100,10 +109,6 @@ def run_check(grid_reas="conv3d"):
     # IoU amplifies micro-drift into missing/extra boundary bands
     raw_err = None
     if "raw_masks" in fx.files:
-        g = engine.run_graph([views], outputs=["detections",
-                                               "mrcnn_masks"],
-                             Rcam=np.asarray(fx["Rcam"]),
-                             Kmat=np.asarray(fx["Kmat"]))
         raw_det_err = float(np.max(np.abs(
             np.asarray(g["detections"])[0] - fx["raw_detections"])))
         raw_mask_err = float(np.max(np.abs(
@@ -134,9 +139,10 @@ def run_check(grid_reas="conv3d"):
     ok = (matched >= n_gold - 1 and abs(n_gold - n_ours) <= 1
           and score_err < 0.02)
     if raw_err is not None:
-        # raw mask probabilities are the mask gate (see above); the
-        # binarized-mask IoU stays reported for context
-        ok = ok and raw_err["raw_mask_err"] < 5e-3
+        # raw detections AND mask probabilities are the gates (see
+        # above); the binarized-mask IoU stays reported for context
+        ok = (ok and raw_err["raw_mask_err"] < 5e-3
+              and raw_err["raw_det_err"] < 1e-4)
     else:
         ok = ok and mask_iou_min > 0.8
     result = {

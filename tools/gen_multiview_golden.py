@@ -36,9 +36,6 @@ import types
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-FIXTURE = os.path.join(REPO, "tests", "fixtures", "golden_multiview.npz")
-INVENTORY = os.path.join(REPO, "tests", "fixtures",
-                         "golden_multiview_layers.json")
 H5_PATH = "/tmp/golden_multiview.h5"
 
 # shared operating point (mirrored by tools/check_multiview_golden.py)
