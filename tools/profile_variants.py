@@ -3,8 +3,9 @@ milliseconds go?
 
   python tools/profile_variants.py [variant ...]
 
-Variants: vanilla (no geometry), conv3d (flagship), lstm3d4 (4-view
-ConvLSTM), xformer (transformer fusion). Prints one JSON line each.
+Variants: vanilla (no geometry), conv3d (flagship), conv3d4 (4-view
+flagship — the north-star's N=4 point), lstm3d4 (4-view ConvLSTM),
+xformer (transformer fusion). Prints one JSON line each.
 """
 
 import functools
@@ -58,6 +59,11 @@ def variant_config(name, batch=1):
     elif name == "conv3d":
         class C(Base):
             NUM_VIEWS = 2
+            GRID_REAS = "conv3d"
+    elif name == "conv3d4":
+        # the north-star (BASELINE.md) targets N=2 AND N=4 views
+        class C(Base):
+            NUM_VIEWS = 4
             GRID_REAS = "conv3d"
     elif name == "lstm3d4":
         class C(Base):
