@@ -161,6 +161,15 @@ class Config:
                                       # transformer variant; True keeps the
                                       # main view's features there (opt-in
                                       # fix for small-object regimes)
+    XFORMER_ZERO_INIT = False  # zero-init the fusion's final token
+                               # projection so the residual branch starts
+                               # silent (ReZero-style). Needed to train the
+                               # faithful P5-only protocol FROM SCRATCH: the
+                               # post-LN encoder emits unit-scale tokens
+                               # that drown an untrained main P5 (see
+                               # models/transformer.py). The reference
+                               # avoids this only by fine-tuning from COCO
+                               # weights. Default False = faithful init.
 
     # ------------------------------------------------------------------
     # TPU-native knobs (no reference analog)

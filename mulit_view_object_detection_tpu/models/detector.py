@@ -275,6 +275,7 @@ class MaskRCNN(nn.Module):
                 cfg.XFORMER_NUM_LAYERS, cfg.XFORMER_D_MODEL,
                 cfg.XFORMER_NUM_HEADS, cfg.XFORMER_DFF,
                 p5.shape[2], cfg.XFORMER_DROPOUT, dtype,
+                zero_init=bool(getattr(cfg, "XFORMER_ZERO_INIT", False)),
                 name="view_transformer")(
                     tokens.astype(dtype), positions,
                     deterministic=not training)

@@ -73,6 +73,19 @@ class ViewFusionTransformer(nn.Module):
     target_size: int = 20
     rate: float = 0.1
     dtype: Any = jnp.float32
+    # Zero-init the final token projection so the fused residual branch
+    # starts at EXACTLY zero (ReZero-style). Rationale: the post-LN
+    # encoder pins the token scale to ~1 regardless of weights, so at
+    # from-scratch init the fused map drowns the (small, untrained)
+    # main-view P5 it is residually added to — the RPN then reads
+    # position-scrambled unit-scale noise and never learns to localize
+    # (round-4 diagnosis: flat 0.053 objectness everywhere, proposal
+    # IoU 0.0, mrcnn_bbox_loss == 0 for 3000 steps). The reference never
+    # hits this because it fine-tunes from COCO weights whose P5
+    # activations are already strong (interior_transformer.py:447-455);
+    # training the faithful P5-only protocol from scratch needs the
+    # fused branch to start silent. Default False = faithful init.
+    zero_init: bool = False
 
     @nn.compact
     def __call__(self, tokens, positions, deterministic=True):
@@ -93,6 +106,8 @@ class ViewFusionTransformer(nn.Module):
         # (model_transformer.py:340-345)
         x = x.transpose(0, 2, 1)                      # [B, d, N]
         x = nn.Dense(self.target_size ** 2, name="token_proj",
-                     dtype=self.dtype)(x)
+                     dtype=self.dtype,
+                     kernel_init=(nn.initializers.zeros if self.zero_init
+                                  else nn.initializers.lecun_normal()))(x)
         x = x.transpose(0, 2, 1)                      # [B, T^2, d]
         return x.reshape(b, self.target_size, self.target_size, d)
