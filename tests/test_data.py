@@ -331,3 +331,19 @@ def test_nms_protocol_ap_ceiling_640_scenes():
         ds, types.SimpleNamespace(DETECTION_NMS_THRESHOLD=0.55), 2)
     assert faithful == 0.75
     assert relaxed == 1.0
+
+
+def test_640_harness_uses_reference_anchor_ladder():
+    """Locks the round-4 fix: the 640^2 quality harness must use the
+    reference's UNMODIFIED anchor ladder (config.py:76 — interior_multi
+    overrides nothing). The halved (16..256) ladder it previously used
+    put every ~330 px object's best anchor on P6 — zeroed under the
+    transformer's P5-only protocol — making RPN localization
+    unlearnable (AP_XFORMER_640_HALVED_LADDER_r04.json)."""
+    from tools.train_to_ap import build_config
+
+    assert tuple(build_config(640, 2).RPN_ANCHOR_SCALES) == (
+        32, 64, 128, 256, 512)
+    # tiny harness keeps its scaled-down ladder
+    assert tuple(build_config(64, 2).RPN_ANCHOR_SCALES) == (
+        8, 16, 32, 64, 128)

@@ -169,3 +169,29 @@ def test_resnet_remat_grads_match():
         np.testing.assert_allclose(a / scale, b / scale, atol=1e-5)
 
     jax.tree_util.tree_map(close, g0, g1)
+
+
+def test_view_transformer_zero_init_starts_silent():
+    """XFORMER_ZERO_INIT (ReZero-style): with zero_init=True the final
+    token projection's kernel is zeros, so the fused residual branch
+    contributes EXACTLY nothing at init (only the projection bias, also
+    zero) — the detector's P5 = main + fused reduces to main P5. The
+    branch still trains: the kernel's gradient is nonzero because its
+    inputs are."""
+    m = ViewFusionTransformer(num_layers=2, d_model=24, num_heads=4, dff=32,
+                              target_size=4, zero_init=True)
+    tokens = jnp.asarray(np.random.RandomState(0).rand(1, 32, 24)
+                         .astype(np.float32))
+    pos = jnp.asarray(np.random.RandomState(1).randn(1, 32, 3)
+                      .astype(np.float32))
+    vars_ = m.init(jax.random.PRNGKey(0), tokens, pos)
+    out = m.apply(vars_, tokens, pos)
+    assert np.abs(np.asarray(out)).max() == 0.0
+
+    def loss(v):
+        return jnp.sum(m.apply(v, tokens, pos) ** 2.0) + jnp.sum(
+            m.apply(v, tokens, pos))
+
+    g = jax.grad(loss)(vars_)
+    gk = np.asarray(g["params"]["token_proj"]["kernel"])
+    assert np.abs(gk).max() > 0.0

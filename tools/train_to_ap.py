@@ -248,6 +248,13 @@ def main(argv=None):
                              "hardcoded encoder "
                              "(model_transformer.py:361); default is the "
                              "small 2,4,128 harness encoder")
+    parser.add_argument("--anchor-scales", default=None,
+                        help="comma list overriding RPN_ANCHOR_SCALES "
+                             "(e.g. '16,32,64,128,256'). Needed when "
+                             "evaluating checkpoints trained before the "
+                             "round-4 ladder fix: the RPN's learned "
+                             "deltas are per anchor slot, so eval must "
+                             "use the training ladder")
     parser.add_argument("--xformer-zero-init", action="store_true",
                         help="zero-init the transformer fusion's final "
                              "token projection (XFORMER_ZERO_INIT) so the "
@@ -300,6 +307,9 @@ def main(argv=None):
         cfg.XFORMER_KEEP_MAIN_LEVELS = args.keep_main_levels == "1"
     if args.xformer_zero_init:
         cfg.XFORMER_ZERO_INIT = True
+    if args.anchor_scales:
+        cfg.RPN_ANCHOR_SCALES = tuple(
+            int(x) for x in args.anchor_scales.split(","))
     with_depth = bool(cfg.TRANSFORMER)
     obj_px = (tuple(float(x) for x in args.obj_px.split(","))
               if args.obj_px else None)
@@ -325,6 +335,7 @@ def main(argv=None):
         BN_EVAL_BATCH_STATS = args.bn_eval_batch_stats
         ZERO_PG_LEVELS = cfg.ZERO_PG_LEVELS
         XFORMER_KEEP_MAIN_LEVELS = cfg.XFORMER_KEEP_MAIN_LEVELS
+        RPN_ANCHOR_SCALES = cfg.RPN_ANCHOR_SCALES
         DETECTION_NMS_THRESHOLD = (args.det_nms if args.det_nms is not None
                                    else cfg.DETECTION_NMS_THRESHOLD)
     eval_cfg = EvalConfig()
@@ -399,6 +410,11 @@ def main(argv=None):
                 ds, eval_cfg, view_ids[0], use_mini_mask=False)
             views, Rcam = [], np.zeros((1, args.num_views, 3, 4),
                                        np.float32)
+            depths = None
+            if with_depth:
+                fh = (int(eval_cfg.IMAGE_SHAPE[0])
+                      // eval_cfg.BACKBONE_STRIDES[3])
+                depths = np.zeros((1, args.num_views, fh, fh), np.float32)
             for i, vid in enumerate(view_ids):
                 im = ds.load_image(vid)
                 im, *_ = resize_image(
@@ -408,9 +424,12 @@ def main(argv=None):
                     mode=eval_cfg.IMAGE_RESIZE_MODE)
                 views.append(im)
                 Rcam[0, i] = ds.load_R(vid)
+                if with_depth:
+                    depths[0, i] = ds.load_depth(vid, eval_cfg)
             views = np.stack(views)
             Kmat = ds.K[None].astype(np.float32)
-            r = engine.detect([views], Rcam=Rcam, Kmat=Kmat)[0]
+            r = engine.detect([views], Rcam=Rcam, Kmat=Kmat,
+                              depths=depths)[0]
             ndet.append(int(r["class_ids"].shape[0]))
             if r["masks"].shape[-1] == 0 or gt_mask.shape[-1] == 0:
                 mask_aps.append(0.0)
@@ -430,7 +449,7 @@ def main(argv=None):
                 box_aps.append(b_ap)
             # proposal-stage recall through run_graph
             g = engine.run_graph([views], outputs=["proposals"],
-                                 Rcam=Rcam, Kmat=Kmat)
+                                 Rcam=Rcam, Kmat=Kmat, depths=depths)
             props = denorm_boxes_np(np.asarray(g["proposals"])[0], (h, h))
             recalls.append(
                 compute_recall(props, gt_bbox.astype(np.float32), 0.5)[0])
@@ -592,7 +611,7 @@ def main(argv=None):
     if not args.skip_eval and not args.eval_only:
         record_history({"step": start_step + n_steps, "ap50": round(ap, 4)})
     diag = None
-    if args.diagnostics and not with_depth:
+    if args.diagnostics:
         diag = diagnose(state)
         print("diagnostics:", json.dumps(diag), flush=True)
     if hist_path and os.path.exists(hist_path):
@@ -637,6 +656,8 @@ def main(argv=None):
         "zero_pg_levels": list(cfg.ZERO_PG_LEVELS),
         "obj_px": list(obj_px) if obj_px else None,
         "det_nms_threshold": eval_cfg.DETECTION_NMS_THRESHOLD,
+        "rpn_anchor_scales": list(cfg.RPN_ANCHOR_SCALES),
+        "seed": args.seed,
     }
     if args.variant == "xformer":
         result["xformer_arch"] = {
