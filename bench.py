@@ -114,6 +114,14 @@ def main():
         # GroupedGridFusion); init creates the grouped weights directly
         CROSS_LEVEL_FUSION = os.environ.get("BENCH_CROSS_LEVEL",
                                             "0") == "1"
+        # phase-decomposed U-Net up-convs (PhaseConvTranspose3D): same
+        # params, true-FLOPs lowering (tests/test_phase_deconv.py)
+        PHASE_DECONV = os.environ.get("BENCH_PHASE_DECONV", "1") == "1"
+        # space-to-depth stem conv (tests/test_stem_s2d.py). Measured
+        # NEGATIVE on v5e (118.6 vs 147.3 fps b1): XLA:TPU's specialized
+        # packed-sublane stem emitter beats the generic path the 4x4
+        # C_in=12 form takes. Kept as a capability, default off.
+        STEM_S2D = os.environ.get("BENCH_STEM_S2D", "0") == "1"
 
     BenchConfig.IMAGES_PER_GPU = args.batch
     cfg = BenchConfig()

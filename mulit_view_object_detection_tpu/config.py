@@ -104,6 +104,29 @@ class Config:
     # the fold only applies to training=False applies.
     FOLD_BN = False
 
+    # Serving-time lowering of the U-Net's Conv3DTranspose up-convs as 8
+    # output-parity phase convs + depth-to-space interleave
+    # (models/fusion.py::PhaseConvTranspose3D). The lhs-dilated lowering
+    # multiplies ~3.4x mostly-zero taps; the phase form computes only the
+    # true FLOPs. Identical parameters, same math up to summation order
+    # (exactness: tests/test_phase_deconv.py). Inference-only; training
+    # always uses nn.ConvTranspose.
+    PHASE_DECONV = False
+
+    # Same lowering for the mask head's 2x2/2 deconv
+    # (models/heads.py::_PhaseDeconv2x2 — with k == s it is a pure 1x1
+    # conv + depth-to-space). Measured NEGATIVE on v5e at the flagship
+    # shapes (133.7 vs 147.3 fps b1: the interleave relayout on
+    # [100,14,14,2,2,256] costs more than the dilated conv saves at
+    # N=100 ROIs), so it is a separate, default-off switch.
+    PHASE_DECONV_MASK = False
+
+    # Serving-time space-to-depth stem (models/resnet.py::_S2DStemConv):
+    # the 7x7/2 C_in=3 stem conv re-expressed as a 4x4/1 C_in=12 conv on
+    # 2x2-phase-blocked input — identical parameters and output, 4x the
+    # MXU input-lane utilization (tests/test_stem_s2d.py). Inference-only.
+    STEM_S2D = False
+
     # Serving-time cross-level fusion: run the per-level conv3d/ident
     # GridFusions of all active pyramid levels as ONE set of grouped convs
     # (feature_group_count = #levels) over the channel-concatenated voxel

@@ -104,6 +104,8 @@ class MaskRCNN(nn.Module):
             cfg.BACKBONE, stage5=True, train_bn=train_bn,
             stage4_blocks=stage4_blocks, dtype=dtype, fold_bn=fold_bn,
             remat=bool(getattr(cfg, "REMAT", False)) and training,
+            stem_s2d=bool(getattr(cfg, "STEM_S2D", False))
+            and not training,
             name="backbone")(x)
         p2, p3, p4, p5, p6 = FPN(
             cfg.TOP_DOWN_PYRAMID_SIZE, post_relu=multiview, dtype=dtype,
@@ -184,7 +186,11 @@ class MaskRCNN(nn.Module):
             train_bn, dtype, fold_bn, name="classifier_head")
         mask_filters = 128 if multiview else 256  # model_multi.py:1412-1438
         mask_head = MaskHead(cfg.NUM_CLASSES, mask_filters, train_bn, dtype,
-                             fold_bn, name="mask_head")
+                             fold_bn,
+                             phase_deconv=bool(
+                                 getattr(cfg, "PHASE_DECONV_MASK", False))
+                             and not training,
+                             name="mask_head")
 
         outputs = {
             "rpn_class_logits": rpn_class_logits,
@@ -358,6 +364,9 @@ class MaskRCNN(nn.Module):
             fusion = Fusion(cfg.GRID_REAS, cfg.TOP_DOWN_PYRAMID_SIZE, v,
                             train_bn_now, dtype,
                             fold_bn, inputs_fused=fuse_layout,
+                            phase_deconv=bool(
+                                getattr(cfg, "PHASE_DECONV", False))
+                            and not training,
                             name=f"grid_fusion_p{li + 2}")
             collapse = Collapse(
                 cfg.GRID_REAS, cfg.TOP_DOWN_PYRAMID_SIZE, cfg.samples,

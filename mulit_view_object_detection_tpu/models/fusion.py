@@ -23,6 +23,7 @@ reused across *calls within a level*, not across levels
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import flax.linen as nn
@@ -77,6 +78,58 @@ class ConvLSTM3D(nn.Module):
         return output
 
 
+class PhaseConvTranspose3D(nn.Module):
+    """Drop-in for nn.ConvTranspose(features, (3, 3, 3), strides=(2, 2, 2),
+    padding='SAME') computed as 8 output-parity phase convs + interleave.
+
+    XLA lowers a stride-2 transposed conv as a conv over the lhs-dilated
+    input: 27 kernel taps per output cell of which at most 8 hit non-zero
+    (non-inserted) inputs — ~3.4x wasted MACs — and the 3D-conv path on
+    TPU is weak on top. Decomposing by output parity runs 8 dense convs
+    with kernels of size {1,2}^3 (every weight used exactly once, zero
+    waste) and interleaves with one depth-to-space transpose. Derivation
+    of the phase kernels from lax.conv_transpose's SAME padding
+    (pad=(2,1) per axis at k=3, s=2, see _GroupedConvTranspose):
+        y[2m]   = x[m-1]*W[0] + x[m]*W[2]   (even phase: taps [0, 2])
+        y[2m+1] = x[m]*W[1]                 (odd phase:  tap  [1])
+    Param names/shapes match nn.ConvTranspose ('kernel' [3,3,3,Cin,Cout],
+    'bias' [Cout]) so trained checkpoints load unchanged; exactness vs
+    nn.ConvTranspose is covered by tests/test_phase_deconv.py.
+    (reference op: Conv3DTranspose in the MLF U-Net,
+    model_multi.py:406-441)"""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, nx, ny, nz, cin = x.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        # per-axis phase slicing: even -> taps [0, 2] with front pad 1,
+        # odd -> tap [1] with no pad
+        ax = {0: (slice(0, None, 2), (1, 0)), 1: (slice(1, 2), (0, 0))}
+        outs = []
+        for px in (0, 1):
+            for py in (0, 1):
+                for pz in (0, 1):
+                    (sx, padx), (sy, pady), (sz, padz) = ax[px], ax[py], \
+                        ax[pz]
+                    sub = k[sx, sy, sz]
+                    dn = jax.lax.conv_dimension_numbers(
+                        x.shape, sub.shape, ("NXYZC", "XYZIO", "NXYZC"))
+                    outs.append(jax.lax.conv_general_dilated(
+                        x, sub, (1, 1, 1), padding=[padx, pady, padz],
+                        dimension_numbers=dn))
+        y = jnp.stack(outs, axis=4)               # [B,X,Y,Z,8,C]
+        y = y.reshape(b, nx, ny, nz, 2, 2, 2, self.features)
+        y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)   # [B,X,2,Y,2,Z,2,C]
+        y = y.reshape(b, 2 * nx, 2 * ny, 2 * nz, self.features)
+        return y + bias.astype(self.dtype)
+
+
 class GridFusion(nn.Module):
     mode: str            # add | mean | ident | conv3d | lstm3d
     channels: int        # TOP_DOWN_PYRAMID_SIZE
@@ -89,6 +142,10 @@ class GridFusion(nn.Module):
     # kernels/unproject_pallas.py::bilinear_gather_fused) — skips the
     # transpose+reshape+relu HBM passes. Only conv3d/ident consume this.
     inputs_fused: bool = False
+    # phase_deconv: serving-time lowering of the U-Net's up1/up2 as
+    # PhaseConvTranspose3D (identical params, same math up to summation
+    # order). Config.PHASE_DECONV; enabled by bench/serving configs.
+    phase_deconv: bool = False
 
     @nn.compact
     def __call__(self, grids):
@@ -128,15 +185,16 @@ class GridFusion(nn.Module):
                         padding="SAME", name="down2", dtype=self.dtype)(conv1)
             x = BatchNorm(self.train_bn, self.dtype, self.fold_bn, name="bn2")(x)
             conv2 = nn.relu(x)
-            x = nn.ConvTranspose(self.channels * 2, (3, 3, 3),
-                                 strides=(2, 2, 2), padding="SAME",
-                                 name="up1", dtype=self.dtype)(conv2)
+            Deconv = (PhaseConvTranspose3D if self.phase_deconv else
+                      functools.partial(nn.ConvTranspose,
+                                        kernel_size=(3, 3, 3),
+                                        strides=(2, 2, 2), padding="SAME"))
+            x = Deconv(self.channels * 2, name="up1",
+                       dtype=self.dtype)(conv2)
             x = BatchNorm(self.train_bn, self.dtype, self.fold_bn, name="bn_up1")(x)
             deconv1 = nn.relu(x)
             x = jnp.concatenate([deconv1, conv1], axis=-1)
-            x = nn.ConvTranspose(self.channels, (3, 3, 3), strides=(2, 2, 2),
-                                 padding="SAME", name="up2",
-                                 dtype=self.dtype)(x)
+            x = Deconv(self.channels, name="up2", dtype=self.dtype)(x)
             x = BatchNorm(self.train_bn, self.dtype, self.fold_bn, name="bn_up2")(x)
             return nn.relu(x)
 

@@ -14,6 +14,7 @@ TPU-native equivalent of TimeDistributed).
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import flax.linen as nn
@@ -57,12 +58,44 @@ class ClassifierHead(nn.Module):
         return logits, probs, bbox
 
 
+class _PhaseDeconv2x2(nn.Module):
+    """Drop-in for nn.ConvTranspose(features, (2, 2), strides=(2, 2))
+    (the mask head's deconv, model.py:1001): with k == s the transposed
+    conv has NO overlapping taps — it is exactly a 1x1 conv to 4x
+    channels followed by depth-to-space:
+        y[2m+p, 2n+q] = x[m, n] @ W[1-p, 1-q]
+    (kernel order reversed by lax.conv_transpose's SAME pad=(1,1) at
+    k=2, s=2). The lhs-dilated lowering XLA otherwise uses multiplies 4x
+    mostly-zeros. Param tree matches nn.ConvTranspose; exactness:
+    tests/test_phase_deconv.py. Serving-only (Config.PHASE_DECONV_MASK)
+    — measured NEGATIVE at the flagship shapes (the [N,14,14,2,2,C]
+    interleave relayout outweighs the saving at N=100 ROIs), so default
+    off; kept as a capability for large-N serving shapes."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, cin = x.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (2, 2, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k = kernel[::-1, ::-1]                       # index [p,q] = W[1-p,1-q]
+        k = k.transpose(2, 0, 1, 3).reshape(cin, 4 * self.features)
+        y = x.astype(self.dtype) @ k.astype(self.dtype)
+        y = y.reshape(b, h, w, 2, 2, self.features)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w,
+                                                  self.features)
+        return y + bias.astype(self.dtype)
+
+
 class MaskHead(nn.Module):
     num_classes: int
     conv_filters: int = 256
     train_bn: bool = False
     dtype: Any = jnp.float32
     fold_bn: bool = False
+    phase_deconv: bool = False   # Config.PHASE_DECONV serving lowering
 
     @nn.compact
     def __call__(self, pooled):
@@ -75,8 +108,11 @@ class MaskHead(nn.Module):
             x = BatchNorm(self.train_bn, self.dtype, self.fold_bn,
                           name=f"mrcnn_mask_bn{i}")(x)
             x = nn.relu(x)
-        x = nn.ConvTranspose(self.conv_filters, (2, 2), strides=(2, 2),
-                             name="mrcnn_mask_deconv", dtype=self.dtype)(x)
+        Deconv = (_PhaseDeconv2x2 if self.phase_deconv else
+                  functools.partial(nn.ConvTranspose, kernel_size=(2, 2),
+                                    strides=(2, 2)))
+        x = Deconv(self.conv_filters, name="mrcnn_mask_deconv",
+                   dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Conv(self.num_classes, (1, 1), name="mrcnn_mask",
                     dtype=self.dtype)(x)

@@ -68,6 +68,44 @@ class BatchNorm(nn.Module):
             axis_name=None)(x)
 
 
+class _S2DStemConv(nn.Module):
+    """Space-to-depth form of the 7x7/2 stem conv (serving-time,
+    Config.STEM_S2D). The stem's C_in=3 fills 3 of the MXU's 128 input
+    lanes (~2% utilization — the single most byte/FLOP-inefficient conv
+    in the flagship trace at 0.38 ms/frame). Rearranging the padded input
+    into 2x2 phase blocks ([N, 646, 646, 3] -> [N, 323, 323, 12]) and the
+    kernel into the matching [4, 4, 12, 64] makes the same convolution a
+    stride-1 4x4 conv with 4x the input depth — identical output (the
+    7->8 kernel zero-pad contributes nothing; exactness:
+    tests/test_stem_s2d.py). Parameter tree matches nn.Conv
+    ('kernel' [7,7,3,64], 'bias'), so trained/imported weights serve
+    unchanged. (Same trick as MLPerf ResNet space-to-depth stems.)"""
+    features: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: the pad-3 input [N, H+6, W+6, 3] (even-sized)."""
+        import jax.lax as lax
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, 3, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        n, h, w, c = x.shape
+        xs = x.reshape(n, h // 2, 2, w // 2, 2, c)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2,
+                                                    4 * c)
+        kp = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        kp = kp.reshape(4, 2, 4, 2, c, self.features)
+        kp = kp.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c,
+                                                    self.features)
+        dn = lax.conv_dimension_numbers(xs.shape, kp.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        y = lax.conv_general_dilated(
+            xs.astype(self.dtype), kp.astype(self.dtype), (1, 1), "VALID",
+            dimension_numbers=dn)
+        return y + bias.astype(self.dtype)
+
+
 class _Bottleneck(nn.Module):
     """conv_block / identity_block (model.py:95-168)."""
     filters: tuple  # (f1, f2, f3)
@@ -111,6 +149,9 @@ class ResNet(nn.Module):
     # instead of reading them back from HBM trades cheap FLOPs for the
     # dominant byte traffic. Param paths are unchanged (names are explicit).
     remat: bool = False
+    # Space-to-depth stem (Config.STEM_S2D serving mode): same parameters,
+    # same output, 4x the stem conv's input-lane utilization.
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -119,8 +160,11 @@ class ResNet(nn.Module):
         Bottleneck = (nn.remat(_Bottleneck) if self.remat else _Bottleneck)
         # Stage 1 (explicit pad 3 + valid conv, model.py:179-183)
         y = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
-        y = nn.Conv(64, (7, 7), strides=2, padding="VALID", name="conv1",
-                    dtype=self.dtype)(y)
+        if self.stem_s2d and y.shape[1] % 2 == 0 and y.shape[2] % 2 == 0:
+            y = _S2DStemConv(64, dtype=self.dtype, name="conv1")(y)
+        else:
+            y = nn.Conv(64, (7, 7), strides=2, padding="VALID",
+                        name="conv1", dtype=self.dtype)(y)
         y = BatchNorm(self.train_bn, self.dtype, self.fold_bn, name="bn_conv1")(y)
         y = nn.relu(y)
         c1 = y = nn.max_pool(y, (3, 3), strides=(2, 2), padding="SAME")
