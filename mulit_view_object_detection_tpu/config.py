@@ -121,6 +121,25 @@ class Config:
     # N=100 ROIs), so it is a separate, default-off switch.
     PHASE_DECONV_MASK = False
 
+    # Serving-time hoisted ConvLSTM input conv (models/fusion.py::
+    # ConvLSTM3D.hoist_input): the fused gate conv is linear in the
+    # channel concat — conv([x,h], W) == conv(x, Wx) + conv(h, Wh) — so
+    # the x-side gates of ALL views run as ONE [B*V]-batched conv
+    # outside the lax.scan and only the h-side recurrence stays
+    # sequential (the standard cuDNN RNN decomposition; halves the
+    # per-view sequential conv channels). Identical parameters, same
+    # math up to summation order
+    # (tests/test_nn_modules.py::test_convlstm_hoist_matches_scan).
+    # Measured NEGATIVE on v5e at the flagship lstm3d shape (21.1 vs
+    # 18.5 ms/frame, lstm3d4): the 40^3-voxel gate convs already
+    # saturate the MXU (the decomposition cuts sequential latency, not
+    # FLOPs) and the hoisted [B*V, 40^3, 4F] gate tensor round-trips
+    # HBM instead of fusing the gate math into the conv epilogue. Kept
+    # default-off for small-grid / short-latency deployments where the
+    # batching win dominates. Inference-only; training always scans the
+    # fused-gate cell (recurrent.py:443-478 semantics).
+    LSTM_HOIST_INPUT = False
+
     # Serving-time space-to-depth stem (models/resnet.py::_S2DStemConv):
     # the 7x7/2 C_in=3 stem conv re-expressed as a 4x4/1 C_in=12 conv on
     # 2x2-phase-blocked input — identical parameters and output, 4x the

@@ -367,6 +367,9 @@ class MaskRCNN(nn.Module):
                             phase_deconv=bool(
                                 getattr(cfg, "PHASE_DECONV", False))
                             and not training,
+                            lstm_hoist=bool(
+                                getattr(cfg, "LSTM_HOIST_INPUT", False))
+                            and not training,
                             name=f"grid_fusion_p{li + 2}")
             collapse = Collapse(
                 cfg.GRID_REAS, cfg.TOP_DOWN_PYRAMID_SIZE, cfg.samples,

@@ -53,28 +53,103 @@ class ConvLSTMCell3D(nn.Module):
         return (memory, output), output
 
 
+class _LSTMGateParams(nn.Module):
+    """Declares the fused-gate conv parameters at nn.Conv-compatible
+    names/shapes ('kernel' [kx,ky,kz,C+F,4F], 'bias' [4F]) without
+    applying the conv, so the hoisted ConvLSTM path below shares
+    checkpoints with the scanned ConvLSTMCell3D path."""
+    filters: int
+    kernel: tuple
+    in_ch: int
+
+    @nn.compact
+    def __call__(self):
+        shape = (*self.kernel, self.in_ch + self.filters, 4 * self.filters)
+        k = self.param("kernel", nn.initializers.lecun_normal(), shape)
+        b = self.param("bias", nn.initializers.zeros, (4 * self.filters,))
+        return k, b
+
+
+class _LSTMCellParams(nn.Module):
+    """Name-scope shim: places _LSTMGateParams under 'cell/lstm_gates/...',
+    the exact parameter path the nn.scan'd ConvLSTMCell3D creates."""
+    filters: int
+    kernel: tuple
+    in_ch: int
+
+    @nn.compact
+    def __call__(self):
+        return _LSTMGateParams(self.filters, self.kernel, self.in_ch,
+                               name="lstm_gates")()
+
+
 class ConvLSTM3D(nn.Module):
     """ConvLSTM scanned over the view axis; returns the last hidden state
     (the reference's ConvRNN3D with return_sequences=False,
-    recurrent.py:28-371)."""
+    recurrent.py:28-371).
+
+    hoist_input (Config.LSTM_HOIST_INPUT, serving-time): the fused gate
+    conv is linear in the channel concat — conv([x,h], W) ==
+    conv(x, Wx) + conv(h, Wh) — so the x-side gates of ALL views run as
+    ONE [B*V]-batched conv outside the scan and only the h-side
+    recurrence stays sequential (the standard cuDNN RNN decomposition).
+    Halves the per-view sequential conv channels. Identical parameter
+    tree; same math up to summation order
+    (tests/test_nn_modules.py::test_convlstm_hoist_matches_scan)."""
     filters: int
     kernel: tuple = (3, 3, 3)
     forget_bias: float = 1.0
     dtype: Any = jnp.float32
+    hoist_input: bool = False
 
     @nn.compact
     def __call__(self, xs):
         """xs: [B, V, X, Y, Z, C] -> [B, X, Y, Z, filters]."""
         b, v, nx, ny, nz, c = xs.shape
+        init = (jnp.zeros((b, nx, ny, nz, self.filters), xs.dtype),
+                jnp.zeros((b, nx, ny, nz, self.filters), xs.dtype))
+        if self.hoist_input:
+            return self._hoisted(xs, init)
         ScanCell = nn.scan(ConvLSTMCell3D,
                            variable_broadcast="params",
                            split_rngs={"params": False},
                            in_axes=1, out_axes=1)
-        init = (jnp.zeros((b, nx, ny, nz, self.filters), xs.dtype),
-                jnp.zeros((b, nx, ny, nz, self.filters), xs.dtype))
         (memory, output), _ = ScanCell(
             self.filters, self.kernel, self.forget_bias, self.dtype,
             name="cell")(init, xs)
+        return output
+
+    def _hoisted(self, xs, init):
+        b, v, nx, ny, nz, c = xs.shape
+        kernel, bias = _LSTMCellParams(self.filters, self.kernel, c,
+                                       name="cell")()
+        k = kernel.astype(self.dtype)
+        wx, wh = k[..., :c, :], k[..., c:, :]
+        x = xs.astype(self.dtype).reshape(b * v, nx, ny, nz, c)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, wx.shape, ("NXYZC", "XYZIO", "NXYZC"))
+        xg = jax.lax.conv_general_dilated(
+            x, wx, (1, 1, 1), "SAME", dimension_numbers=dn)
+        xg = (xg + bias.astype(self.dtype)).reshape(
+            b, v, nx, ny, nz, 4 * self.filters)
+        dnh = jax.lax.conv_dimension_numbers(
+            (b, nx, ny, nz, self.filters), wh.shape,
+            ("NXYZC", "XYZIO", "NXYZC"))
+        fb = self.forget_bias
+
+        def step(carry, xg_v):
+            memory, output = carry
+            y = xg_v + jax.lax.conv_general_dilated(
+                output.astype(self.dtype), wh, (1, 1, 1), "SAME",
+                dimension_numbers=dnh)
+            j, i, f, o = jnp.split(y, 4, axis=-1)
+            memory = (memory * jax.nn.sigmoid(f + fb)
+                      + jax.nn.sigmoid(i) * jnp.tanh(j))
+            output = jnp.tanh(memory) * jax.nn.sigmoid(o)
+            return (memory, output), None
+
+        (memory, output), _ = jax.lax.scan(
+            step, init, jnp.moveaxis(xg, 1, 0))
         return output
 
 
@@ -146,6 +221,9 @@ class GridFusion(nn.Module):
     # PhaseConvTranspose3D (identical params, same math up to summation
     # order). Config.PHASE_DECONV; enabled by bench/serving configs.
     phase_deconv: bool = False
+    # lstm_hoist: serving-time hoisted ConvLSTM input conv
+    # (Config.LSTM_HOIST_INPUT, see ConvLSTM3D.hoist_input).
+    lstm_hoist: bool = False
 
     @nn.compact
     def __call__(self, grids):
@@ -201,6 +279,7 @@ class GridFusion(nn.Module):
         if self.mode == "lstm3d":
             x = nn.relu(x)
             x = ConvLSTM3D(self.channels, dtype=self.dtype,
+                           hoist_input=self.lstm_hoist,
                            name="convlstm")(x)
             x = BatchNorm(self.train_bn, self.dtype, self.fold_bn, name="fuse_bn")(x)
             return nn.relu(x)

@@ -102,6 +102,38 @@ def test_convlstm_scan_matches_unroll():
     np.testing.assert_allclose(out, np.asarray(carry[1]), atol=1e-5)
 
 
+def test_convlstm_hoist_matches_scan():
+    """Hoisted input conv (Config.LSTM_HOIST_INPUT) == scanned
+    fused-gate cell: identical parameter tree, same output up to
+    summation order (conv is linear in the channel concat)."""
+    x = jnp.asarray(np.random.RandomState(2).rand(2, 4, 3, 3, 3, 6)
+                    .astype(np.float32))
+    ref = ConvLSTM3D(filters=5)
+    vars_ = ref.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(ref.apply(vars_, x))
+
+    hoist = ConvLSTM3D(filters=5, hoist_input=True)
+    hshapes = jax.tree_util.tree_map(
+        lambda a: a.shape, hoist.init(jax.random.PRNGKey(1), x))
+    assert hshapes == jax.tree_util.tree_map(lambda a: a.shape, vars_)
+    got = np.asarray(hoist.apply(vars_, x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_gridfusion_lstm_hoist_matches():
+    """GridFusion(lstm3d) with lstm_hoist serves a scanned-path
+    checkpoint unchanged."""
+    x = jnp.asarray(np.random.RandomState(3).rand(1, 3, 4, 4, 4, 8)
+                    .astype(np.float32))
+    ref = GridFusion(mode="lstm3d", channels=8, num_views=3)
+    vars_ = ref.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(ref.apply(vars_, x))
+    hoist = GridFusion(mode="lstm3d", channels=8, num_views=3,
+                       lstm_hoist=True)
+    got = np.asarray(hoist.apply(vars_, x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_depth_collapse_modes():
     x = jnp.asarray(np.random.RandomState(0).rand(1, 4, 8, 8, 16)
                     .astype(np.float32))

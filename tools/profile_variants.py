@@ -48,6 +48,9 @@ class Base(Config):
     samples = 20
     COMPUTE_DTYPE = "bfloat16"
     FOLD_BN = os.environ.get("BENCH_FOLD_BN", "1") == "1"
+    PHASE_DECONV = os.environ.get("BENCH_PHASE_DECONV", "1") == "1"
+    # measured negative at the flagship lstm3d shape (see config.py)
+    LSTM_HOIST_INPUT = os.environ.get("BENCH_LSTM_HOIST", "0") == "1"
 
 
 def variant_config(name, batch=1):
