@@ -216,7 +216,15 @@ def load_h5_weights(h5_path, params, batch_stats=None, verbose=False,
                         weights.get("moving_variance"))
             else:
                 kernel = weights.get("kernel")
-                if "depthwise_kernel" in weights:
+                if "weights_lstm3d" in weights:
+                    # the reference's ConvLSTMCell stores ONE fused gate
+                    # kernel [k,k,k, C+F, 4F] named 'weights_lstm3d' and
+                    # a 'bias_lstm3d' (recurrent.py:423-431) — the same
+                    # layout as our cell's single gate conv, gate order
+                    # (j,i,f,o) from tf.split (recurrent.py:460): direct
+                    # assignment, no transform.
+                    kernel = weights["weights_lstm3d"]
+                elif "depthwise_kernel" in weights:
                     # Keras DepthwiseConv2D stores [kh, kw, in, mult=1]
                     # under `depthwise_kernel`; our grouped
                     # nn.Conv(feature_group_count=in) wants
@@ -224,10 +232,11 @@ def load_h5_weights(h5_path, params, batch_stats=None, verbose=False,
                     kernel = np.transpose(weights["depthwise_kernel"],
                                           (0, 1, 3, 2))
                 elif kernel is not None and "recurrent_kernel" in weights:
-                    # the fork's ConvLSTMCell keeps separate input /
-                    # recurrent kernels (recurrent.py:443-478); our cell
-                    # runs ONE conv over concat([x, h]), so the fused
-                    # kernel is their concat along the input-channel axis
+                    # Keras-standard ConvLSTM checkpoints keep separate
+                    # input / recurrent kernels; our cell runs ONE conv
+                    # over concat([x, h]) (recurrent.py:453-457), so the
+                    # fused kernel is their concat along the
+                    # input-channel axis
                     kernel = np.concatenate(
                         [kernel, weights["recurrent_kernel"]], axis=-2)
                 elif kernel is not None and "deconv" in semantic_name:
@@ -245,7 +254,8 @@ def load_h5_weights(h5_path, params, batch_stats=None, verbose=False,
                     kernel = np.transpose(
                         kernel[flip], (*range(nd - 2), nd - 1, nd - 2))
                 _assign(params, path, "kernel", kernel)
-                _assign(params, path, "bias", weights.get("bias"))
+                _assign(params, path, "bias",
+                        weights.get("bias", weights.get("bias_lstm3d")))
             loaded.append(lname)
         except KeyError:
             skipped.append(lname)

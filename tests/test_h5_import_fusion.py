@@ -86,6 +86,36 @@ def test_convlstm_fused_kernel_import(tmp_path):
     np.testing.assert_allclose(np.asarray(out), expect, atol=1e-5)
 
 
+def test_convlstm_reference_fused_names_import(tmp_path):
+    """The reference's ACTUAL ConvLSTMCell saves one fused gate kernel
+    'weights_lstm3d' [k,k,k,C+F,4F] + 'bias_lstm3d' (recurrent.py:
+    423-431), NOT the Keras-standard split kernel/recurrent_kernel
+    pair. The importer must map those names; before the fix this
+    silently no-op'd (layer reported loaded, nothing assigned)."""
+    from mulit_view_object_detection_tpu.models.fusion import GridFusion
+    from mulit_view_object_detection_tpu.utils.h5_import import (
+        load_h5_weights)
+
+    rng = np.random.RandomState(4)
+    c_in, filt = 3, 4
+    fused = rng.randn(3, 3, 3, c_in + filt, 4 * filt).astype(
+        np.float32) * 0.3
+    bias = rng.randn(4 * filt).astype(np.float32) * 0.1
+    h5 = str(tmp_path / "lstm_fused.h5")
+    _write_layer_h5(h5, "grid_reas_P4_convlstm3d",
+                    {"weights_lstm3d": fused, "bias_lstm3d": bias})
+
+    fusion = GridFusion("lstm3d", filt, num_views=2)
+    x = rng.randn(1, 2, 4, 4, 4, c_in).astype(np.float32)
+    variables = fusion.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params, _, report = load_h5_weights(
+        h5, {"grid_fusion_p4": variables["params"]})
+    assert report["loaded"] == ["grid_reas_P4_convlstm3d"]
+    got = params["grid_fusion_p4"]["convlstm"]["cell"]["lstm_gates"]
+    np.testing.assert_array_equal(got["kernel"], fused)
+    np.testing.assert_array_equal(got["bias"], bias)
+
+
 def test_depthwise_kernel_import_numeric(tmp_path):
     """DepthwiseConv2D [1,1,C,1] kernels become grouped-conv [1,1,1,C]
     kernels that compute the same per-channel scale."""

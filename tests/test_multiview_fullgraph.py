@@ -9,6 +9,7 @@ checkpoint protocol (tests/fixtures/golden_multiview_layers.json is the
 real inventory of the built model_multi inference graph).
 """
 
+import glob
 import json
 import os
 
@@ -17,11 +18,15 @@ import pytest
 
 INVENTORY = os.path.join(os.path.dirname(__file__), "fixtures",
                          "golden_multiview_layers.json")
+ALL_INVENTORIES = sorted(glob.glob(os.path.join(
+    os.path.dirname(__file__), "fixtures", "golden_multiview_layers*.json")))
 
 
-def test_importer_maps_every_multiview_layer():
+@pytest.mark.parametrize("inventory_path", ALL_INVENTORIES,
+                         ids=[os.path.basename(p) for p in ALL_INVENTORIES])
+def test_importer_maps_every_multiview_layer(inventory_path):
     from mulit_view_object_detection_tpu.utils.h5_import import _map_layer
-    with open(INVENTORY) as f:
+    with open(inventory_path) as f:
         inventory = json.load(f)
     unmapped = []
     for e in inventory:
@@ -69,7 +74,7 @@ def test_inventory_h5_round_trip(tmp_path):
 @pytest.mark.skipif(not os.environ.get("RUN_HEAVY_PARITY"),
                     reason="640^2 CPU compile (~5-10 min); "
                            "set RUN_HEAVY_PARITY=1")
-@pytest.mark.parametrize("grid_reas", ["conv3d", "ident", "add"])
+@pytest.mark.parametrize("grid_reas", ["conv3d", "ident", "add", "lstm3d"])
 def test_multiview_fullgraph_parity(grid_reas):
     from tools.check_multiview_golden import run_check
     from tools.gen_multiview_golden import fixture_paths

@@ -149,12 +149,159 @@ def install_multiview_shims():
     class _Unavailable:
         def __init__(self, *a, **k):
             raise RuntimeError("ConvRNN3D/ConvLSTMCell stubbed out — the "
-                               "conv3d golden never builds lstm3d")
+                               "conv3d golden never builds lstm3d; "
+                               "lstm3d runs install_recurrent_shims")
 
     rec.ConvRNN3D = _Unavailable
     rec.ConvLSTMCell = _Unavailable
     sys.modules["mrcnn.recurrent"] = rec
     return tf
+
+
+def install_recurrent_shims(tf):
+    """The keras-2.0.8 internals mrcnn/recurrent.py imports, mapped onto
+    tf_keras, so the reference's REAL ConvRNN3D/ConvLSTMCell (fused
+    'weights_lstm3d' gate conv, K.rnn over the view axis,
+    recurrent.py:28-478) executes for the lstm3d golden. Replaces the
+    _Unavailable stub installed above."""
+    import inspect
+
+    import tf_keras
+    from tf_keras.src.engine.base_layer import Layer
+    from tf_keras.src.engine.input_spec import InputSpec
+    from tf_keras.src.layers.rnn import rnn_utils
+    from tf_keras.src.utils import conv_utils
+
+    # ConvLSTMCell.call reads x.shape[-1].value (TF1 Dimension API)
+    tf.compat.v1.disable_v2_tensorshape()
+
+    # keras.layers.recurrent: _standardize_args kept the same signature
+    # in tf_keras; _generate_dropout_mask is imported but never called
+    krec = types.ModuleType("keras.layers.recurrent")
+    krec.RNN = tf_keras.layers.RNN
+    krec._standardize_args = rnn_utils.standardize_args
+    krec._generate_dropout_mask = None
+    sys.modules["keras.layers.recurrent"] = krec
+
+    # keras 2.0.8's InputSpec stored whatever it was given; tf_keras
+    # validates dims. ConvRNN3D.build puts whole TensorShapes into its
+    # state_spec dims (recurrent.py:133-137) — coerce those to None
+    # (the state_spec is only consumed on the explicit-initial-state
+    # path, which the reference never takes).
+    class _LaxInputSpec(InputSpec):
+        def __init__(self, shape=None, **kw):
+            if shape is not None:
+                dims = []
+                for d in shape:
+                    try:
+                        dims.append(None if d is None else int(d))
+                    except TypeError:
+                        dims.append(None)
+                shape = tuple(dims)
+            super().__init__(shape=shape, **kw)
+
+    base_layer = types.ModuleType("keras.engine.base_layer")
+    base_layer.InputSpec = _LaxInputSpec
+    base_layer.Layer = Layer
+    sys.modules["keras.engine.base_layer"] = base_layer
+
+    gen = types.ModuleType("keras.utils.generic_utils")
+
+    def has_arg(fn, name, accept_all=False):
+        sig = inspect.signature(fn)
+        if accept_all and any(p.kind == p.VAR_KEYWORD
+                              for p in sig.parameters.values()):
+            return True
+        return name in sig.parameters
+
+    def to_list(x, allow_tuple=False):
+        if isinstance(x, list):
+            return x
+        if allow_tuple and isinstance(x, tuple):
+            return list(x)
+        return [x]
+
+    def transpose_shape(shape, target_format, spatial_axes):
+        if target_format == "channels_last":      # the only format used
+            return shape
+        raise NotImplementedError(target_format)
+
+    gen.has_arg = has_arg
+    gen.to_list = to_list
+    gen.transpose_shape = transpose_shape
+    sys.modules["keras.utils.generic_utils"] = gen
+    tf_keras.utils.conv_utils = conv_utils      # `from keras.utils import`
+    sys.modules["keras.utils.conv_utils"] = conv_utils
+
+    # imported at recurrent.py:18-19, never used at runtime
+    legacy = types.ModuleType("keras.legacy")
+    legacy.interfaces = types.ModuleType("keras.legacy.interfaces")
+    legacy_layers = types.ModuleType("keras.legacy.layers")
+    legacy_layers.Recurrent = type("Recurrent", (), {})
+    legacy_layers.ConvRecurrent2D = type("ConvRecurrent2D", (), {})
+    legacy.layers = legacy_layers
+    sys.modules["keras.legacy"] = legacy
+    sys.modules["keras.legacy.interfaces"] = legacy.interfaces
+    sys.modules["keras.legacy.layers"] = legacy_layers
+    sys.modules["keras.activations"] = tf_keras.activations
+    sys.modules["keras.constraints"] = tf_keras.constraints
+
+    # tf_keras dropped ConvRNN2D (generalized to ConvRNN); the reference
+    # ConvRNN3D overrides every spatial method, so RNN with the keras-2
+    # constructor contract is the needed base. keras-2 RNNs used
+    # _num_constants=None as the "no constants" sentinel (tf_keras uses
+    # 0), and ConvRNN3D.build branches on `is not None`.
+    class ConvRNN2D(tf_keras.layers.RNN):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self._num_constants = None
+
+    tf_keras.layers.ConvRNN2D = ConvRNN2D
+
+    # TF1 API shims: LSTMStateTuple as a K.rnn-flattenable plain list
+    # (matches get_initial_state's [state, state]); tf.nn.convolution
+    # took padding as the 3rd POSITIONAL arg in TF1 (recurrent.py:457)
+    contrib_rnn = types.ModuleType("tensorflow.contrib.rnn")
+    contrib_rnn.LSTMStateTuple = lambda c, h: [c, h]
+    tf.contrib.rnn = contrib_rnn
+    sys.modules["tensorflow.contrib.rnn"] = contrib_rnn
+
+    # mrcnn/utils.py:21 does `import tensorflow.nn as nn`, which
+    # re-imports the submodule and REBINDS tf.nn to a fresh module
+    # object, clobbering any patched attribute; pre-registering the
+    # current module under its dotted path makes that import a no-op.
+    sys.modules.setdefault("tensorflow.nn", tf.nn)
+    sys.modules.setdefault("tensorflow.math", tf.math)
+
+    _conv = tf.nn.convolution
+
+    def _tf1_convolution(inp, filters, *args, **kw):
+        if args and isinstance(args[0], str):
+            kw.setdefault("padding", args[0])
+            args = args[1:]
+        return _conv(inp, filters, *args, **kw)
+
+    tf.nn.convolution = _tf1_convolution
+
+    # real module this time
+    sys.modules.pop("mrcnn.recurrent", None)
+    import mrcnn.recurrent as recurrent
+
+    # keras 2.0.8 handed build() plain int tuples; tf_keras passes
+    # TensorShape, which breaks ConvRNN3D.build's tuple concatenation
+    # (recurrent.py:102). Re-pin the keras-2 contract.
+    _orig_build = recurrent.ConvRNN3D.build
+
+    def _tuple_build(self, input_shape):
+        if hasattr(input_shape, "as_list"):
+            input_shape = tuple(input_shape.as_list())
+        elif isinstance(input_shape, list):
+            input_shape = [tuple(s.as_list()) if hasattr(s, "as_list")
+                           else s for s in input_shape]
+        return _orig_build(self, input_shape)
+
+    recurrent.ConvRNN3D.build = _tuple_build
+    return recurrent
 
 
 def patch_modellib(tf, modellib):
@@ -261,7 +408,7 @@ def main():
     import argparse
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--grid-reas", default="conv3d",
-                    choices=["conv3d", "ident", "add"],
+                    choices=["conv3d", "ident", "add", "lstm3d"],
                     help="fusion family to capture (one per process: the "
                          "reference's reused_lay layer cache is a module "
                          "GLOBAL, so a second build in the same process "
@@ -273,6 +420,8 @@ def main():
     tf = install_multiview_shims()
 
     sys.path.insert(0, "/root/reference")
+    if args.grid_reas == "lstm3d":
+        install_recurrent_shims(tf)       # real recurrent.py, not the stub
     from mrcnn import model_multi as modellib
     from mrcnn.config import Config
 
