@@ -203,6 +203,15 @@ class Config:
                                       # transformer variant; True keeps the
                                       # main view's features there (opt-in
                                       # fix for small-object regimes)
+    XFORMER_FAITHFUL_PAIRING = False  # parity-golden mode: reproduce the
+                               # reference unproj_vector's feature-scale
+                               # ray vectors and transposed ray/feature
+                               # pairing plus the transposed output
+                               # unflattening (model_transformer.py:
+                               # 355-364, 396-407 — two real bugs, see
+                               # ops/projection.py::unproject_rays).
+                               # Default False = correct pinhole geometry
+                               # with each token paired to its own ray.
     XFORMER_ZERO_INIT = False  # zero-init the fusion's final token
                                # projection so the residual branch starts
                                # silent (ReZero-style). Needed to train the

@@ -107,8 +107,13 @@ class MaskRCNN(nn.Module):
             stem_s2d=bool(getattr(cfg, "STEM_S2D", False))
             and not training,
             name="backbone")(x)
+        # post-P-conv ReLU: a model_multi.py-only divergence (630-640).
+        # model_transformer.py's FPN does NOT have it (:622-637) — a real
+        # difference between the reference's clone files, caught by the
+        # transformer full-graph golden.
         p2, p3, p4, p5, p6 = FPN(
-            cfg.TOP_DOWN_PYRAMID_SIZE, post_relu=multiview, dtype=dtype,
+            cfg.TOP_DOWN_PYRAMID_SIZE,
+            post_relu=multiview and not cfg.TRANSFORMER, dtype=dtype,
             name="fpn")(c2, c3, c4, c5)
         levels = [p2, p3, p4, p5, p6]
         if multiview:
@@ -274,14 +279,17 @@ class MaskRCNN(nn.Module):
 
         if cfg.TRANSFORMER:
             p5 = levels[3]                        # [B, V, 20H, 20W, C]
+            faithful = bool(getattr(cfg, "XFORMER_FAITHFUL_PAIRING", False))
             positions, tokens = unproject_rays(
                 p5.astype(jnp.float32), batch["Rcam"], batch["Kmat"],
-                batch["depths"], image_shape, samples=cfg.samples)
+                batch["depths"], image_shape, samples=cfg.samples,
+                faithful_pairing=faithful)
             fused = ViewFusionTransformer(
                 cfg.XFORMER_NUM_LAYERS, cfg.XFORMER_D_MODEL,
                 cfg.XFORMER_NUM_HEADS, cfg.XFORMER_DFF,
                 p5.shape[2], cfg.XFORMER_DROPOUT, dtype,
                 zero_init=bool(getattr(cfg, "XFORMER_ZERO_INIT", False)),
+                faithful_output=faithful,
                 name="view_transformer")(
                     tokens.astype(dtype), positions,
                     deterministic=not training)

@@ -248,7 +248,8 @@ def project_grid(grid, Kmat, image_shape, proj_size, samples, config,
 # Depth-conditioned ray lift (transformer fusion path)
 # ---------------------------------------------------------------------------
 
-def unproject_rays(feats, Rcam, Kmat, depth, image_shape, samples=1):
+def unproject_rays(feats, Rcam, Kmat, depth, image_shape, samples=1,
+                   faithful_pairing=False):
     """Backproject each feature-map pixel along its ray to measured depth(s),
     producing world xyz per token (model_transformer.py:372-424).
 
@@ -257,9 +258,24 @@ def unproject_rays(feats, Rcam, Kmat, depth, image_shape, samples=1):
 
     Returns (positions [B, V*samples*fh*fw, 3] world xyz,
              tokens [B, V*samples*fh*fw, C]), token order (v, sample, y, x)
-    row-major — each token paired with ITS OWN ray (the reference pairs
-    features with the transposed pixel's ray via mismatched flattening
-    orders, a geometry bug we do not reproduce).
+    row-major — each token paired with ITS OWN ray. The reference deviates
+    from this twice (both reproduced under `faithful_pairing=True`, used
+    only for executed-reference parity goldens):
+
+      1. Ray scaling: it solves rsz*K against pixel vectors [x, y, 1]
+         with x, y at FEATURE scale (model_transformer.py:396-404), so
+         its rays carry z = 1/rsz and a feature-scale principal-point
+         offset — not the true pinhole ray. We solve rsz*K against
+         [x, y, rsz], the exact image-scale ray.
+      2. Pairing: it flattens depth TRANSPOSED (:407, transpose
+         [0,1,3,2]) and transposes features to x-major before
+         vectorizing (:355-358 in transformer_encoder), while the ray
+         grid stays row-major — every token's ray direction belongs to
+         the TRANSPOSED pixel. We pair each token with its own ray.
+
+    Neither bug is fatal in the reference (positions only tag tokens for
+    the positional encoding, and training co-adapts), but they change
+    numerics, so parity against the executed reference requires them.
     """
     b, v, fh, fw, c = feats.shape
     npix = fh * fw
@@ -268,8 +284,9 @@ def unproject_rays(feats, Rcam, Kmat, depth, image_shape, samples=1):
     r_y = np.arange(0.5, fh, 1.0, dtype=np.float32)
     r_x = np.arange(0.5, fw, 1.0, dtype=np.float32)
     xs, ys = np.meshgrid(r_x, r_y)               # row-major (y, x)
+    z = 1.0 if faithful_pairing else rsz
     pix = np.stack([xs.ravel(), ys.ravel(),
-                    np.full(npix, rsz, np.float32)], axis=0)  # [3, npix]
+                    np.full(npix, z, np.float32)], axis=0)  # [3, npix]
 
     Kinv = jnp.linalg.inv(Kmat * rsz)
     rays = jnp.einsum("bij,jn->bin", Kinv, pix)  # [B, 3, npix], z == 1
@@ -282,6 +299,10 @@ def unproject_rays(feats, Rcam, Kmat, depth, image_shape, samples=1):
         raise ValueError(
             f"unproject_rays: samples must be 1 (got {samples}); the "
             f"depth-conditioned lift has one measured depth per ray")
+    if faithful_pairing:
+        assert fh == fw, "faithful pairing needs a square feature map"
+        depth = depth.swapaxes(2, 3)             # transposed flatten (:407)
+        feats = feats.swapaxes(2, 3)             # x-major tokens (:355-358)
     rho = depth.reshape(b, v, 1, 1, npix)        # [B, V, 1, 1, npix]
     Xc = rays[:, None, None, :, :] * rho         # [B, V, S=1, 3, npix]
     ones = jnp.ones((b, v, samples, 1, npix))
@@ -289,6 +310,7 @@ def unproject_rays(feats, Rcam, Kmat, depth, image_shape, samples=1):
     Xw = jnp.einsum("bvij,bvsjn->bvsin", Rcam, Xc_h)  # [B, V, S, 3, npix]
 
     positions = Xw.transpose(0, 1, 2, 4, 3).reshape(b, -1, 3)
-    tokens = jnp.broadcast_to(feats[:, :, None], (b, v, samples, fh, fw, c))
+    tokens = jnp.broadcast_to(
+        feats[:, :, None], (b, v, samples) + feats.shape[2:])
     tokens = tokens.reshape(b, -1, c)
     return positions, tokens

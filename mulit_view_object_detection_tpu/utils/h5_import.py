@@ -86,6 +86,11 @@ _GRID_BN_RE = re.compile(
     r"^grid_reas_P(\d)_batch_norm(?:(deconv)?_([12]))?$")
 _GRID_IDENT_RE = re.compile(r"^grid_reas_P(\d)ident_conv$")
 _GRID_LSTM_RE = re.compile(r"^grid_reas_P(\d)_convlstm3d$")
+# transformer-fusion encoder inner layers (model_transformer.py:216-349):
+# the whole encoder saves as ONE 'transformer' layer group whose inner
+# Dense/LayerNormalization layers carry keras-global auto counters
+_XF_DENSE_RE = re.compile(r"^dense(?:_(\d+))?$")
+_XF_LN_RE = re.compile(r"^layer_normalization(?:_(\d+))?$")
 _DEPTH_RE = re.compile(
     r"^grid_reas_depth_PG(\d)"
     r"(?:_DepthwiseConv_([12])|2DConv_([12])|bn_([12])|2DConv|bn_deconv)$")
@@ -186,6 +191,17 @@ def load_h5_weights(h5_path, params, batch_stats=None, verbose=False,
         if lname in exclude or outer_of.get(lname) in exclude:
             excluded.append(lname)
             continue
+        if outer_of.get(lname) == "transformer":
+            # the whole encoder saved as one nested layer group; its
+            # auto-named inner Dense/LayerNorm layers map structurally
+            try:
+                if _assign_transformer_layer(params, lname, weights):
+                    loaded.append(lname)
+                else:
+                    skipped.append(lname)
+            except KeyError:
+                skipped.append(lname)
+            continue
         semantic_name = lname
         path, is_bn = _map_layer(lname)
         if path is None:
@@ -264,6 +280,59 @@ def load_h5_weights(h5_path, params, batch_stats=None, verbose=False,
         print(f"h5 import: {len(loaded)} layers loaded, "
               f"{len(skipped)} skipped: {skipped[:10]}")
     return params, batch_stats, report
+
+
+def _assign_transformer_layer(params, lname, weights):
+    """Map one of the reference transformer encoder's auto-named inner
+    layers (saved under the single 'transformer' layer group,
+    model_transformer.py:216-349) onto
+    models/transformer.py::ViewFusionTransformer ('view_transformer' in
+    the detector tree).
+
+    Dense counter N decomposes as (i, j) = divmod(N, 6): j in 0..3 are
+    the i-th EncoderLayer's MHA wq/wk/wv/out projections (keras [d, d]
+    kernels reshaped to flax MultiHeadDotProductAttention's head-split
+    layout [d, H, d/H] / [H, d/H, d]); j == 4/5 the FFN pair. A dense
+    whose encoder-layer index does not exist in the tree is the final
+    token projection (Transformer.final_layer, model_transformer.py:
+    340-345). LayerNorm counter M: encoder layer M//2, ln{M % 2 + 1}
+    (gamma -> scale, beta -> bias). Returns True when assigned."""
+    root = params.get("view_transformer")
+    if root is None:
+        return False
+
+    def reshape_to(tree_path, leaf, value):
+        node = root
+        for p in tree_path:
+            node = node[p]
+        expect = np.asarray(node[leaf])
+        if expect.size != value.size:
+            raise KeyError(f"size mismatch {expect.shape} vs {value.shape}")
+        node[leaf] = value.reshape(expect.shape).astype(expect.dtype)
+
+    m = _XF_DENSE_RE.match(lname)
+    if m:
+        n = int(m.group(1) or 0)
+        i, j = divmod(n, 6)
+        kernel, bias = weights["kernel"], weights["bias"]
+        if f"layer{i}" not in root:
+            reshape_to(("token_proj",), "kernel", kernel)
+            reshape_to(("token_proj",), "bias", bias)
+            return True
+        sub = ({0: ("mha", "query"), 1: ("mha", "key"),
+                2: ("mha", "value"), 3: ("mha", "out"),
+                4: ("ffn1",), 5: ("ffn2",)})[j]
+        reshape_to((f"layer{i}",) + sub, "kernel", kernel)
+        reshape_to((f"layer{i}",) + sub, "bias", bias)
+        return True
+    m = _XF_LN_RE.match(lname)
+    if m:
+        n = int(m.group(1) or 0)
+        i, j = divmod(n, 2)
+        reshape_to((f"layer{i}", f"ln{j + 1}"), "scale", weights["gamma"])
+        reshape_to((f"layer{i}", f"ln{j + 1}"), "bias", weights["beta"])
+        return True
+    return False
 
 
 def _assign(tree, path, leaf, value):
