@@ -16,11 +16,11 @@ first-class and TPU-native (SURVEY.md §2.4):
     shard_state_tp) — GSPMD derives the activation shardings and inserts
     the all-gathers/reduce-scatters, so TP composes with DP and view
     sharding on the same mesh. Exactness vs single-device is proven for
-    TP x DP (tests/test_parallel.py). Known XLA:CPU limitation: VIEW-
-    sharded activations hitting model-sharded conv kernels heap-crash
-    the CPU partitioner (jax 0.9, `free(): invalid pointer`; minimal
-    convs and TP x DP on the same kernels are fine) — so view x model
-    can only be validated on real TPU hardware;
+    TP x DP and for the full view x model x data composition
+    (tests/test_parallel.py; the latter RUN_HEAVY_PARITY-gated for
+    runtime). An earlier XLA:CPU partitioner heap-crash on view-sharded
+    activations hitting model-sharded conv kernels no longer reproduces
+    on jax 0.9.0, so all mesh compositions are CPU-testable;
   * multi-host: `jax.distributed.initialize` + per-host data sharding via
     the same specs.
 """
