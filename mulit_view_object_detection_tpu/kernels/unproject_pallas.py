@@ -48,7 +48,13 @@ def _build_w(x, y, fh, fw, p, dtype):
     ~2x faster (P4 0.951 -> 0.479 ms, P5 0.723 -> 0.362, P6 0.666 ->
     0.351; BENCH_NOTES round-4 kernel section). Tap validity is folded
     into the per-row weights; a false column match from a wrapped
-    idx00+offset can only land where its weight is zero."""
+    idx00+offset can only land where its weight is zero.
+
+    fw == 1 is the one offset collision (d == 1 is both the x0+1 and the
+    y0+1 tap): handled by a trace-time branch that sums the colliding
+    taps' weights — at most one is non-zero per row (x0+1 needs x0 == -1,
+    y0+1 needs x0 == 0), so the sum is exact. fw is a static kernel
+    param, so the fw > 1 hot path is unchanged."""
     t = x.shape[0]
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
@@ -69,11 +75,17 @@ def _build_w(x, y, fh, fw, p, dtype):
     # Mosaic only supports minor-dim insertion ([:, None]) on 32-bit
     # types: the deltas/selects run in int32/f32, cast once at the end.
     d = col - idx00[:, None]
-    w = jnp.where(d == 0, w00[:, None],
-                  jnp.where(d == 1, w10[:, None],
-                            jnp.where(d == fw, w01[:, None],
-                                      jnp.where(d == fw + 1, w11[:, None],
-                                                0.0))))
+    if fw == 1:
+        w = jnp.where(d == 0, w00[:, None],
+                      jnp.where(d == 1, (w10 + w01)[:, None],
+                                jnp.where(d == 2, w11[:, None], 0.0)))
+    else:
+        w = jnp.where(d == 0, w00[:, None],
+                      jnp.where(d == 1, w10[:, None],
+                                jnp.where(d == fw, w01[:, None],
+                                          jnp.where(d == fw + 1,
+                                                    w11[:, None],
+                                                    0.0))))
     return w.astype(dtype)
 
 

@@ -95,7 +95,9 @@ class MaskHead(nn.Module):
     train_bn: bool = False
     dtype: Any = jnp.float32
     fold_bn: bool = False
-    phase_deconv: bool = False   # Config.PHASE_DECONV serving lowering
+    phase_deconv: bool = False   # Config.PHASE_DECONV_MASK (separate,
+    # default-off knob: measured negative on v5e, unlike the U-Net's
+    # PHASE_DECONV — see config.py and BENCH_NOTES round 4)
 
     @nn.compact
     def __call__(self, pooled):

@@ -195,7 +195,9 @@ def load_h5_weights(h5_path, params, batch_stats=None, verbose=False,
             # the whole encoder saved as one nested layer group; its
             # auto-named inner Dense/LayerNorm layers map structurally
             try:
-                if _assign_transformer_layer(params, lname, weights):
+                if _assign_transformer_layer(params, lname, weights,
+                                             _xf_counter_bases(layers,
+                                                               outer_of)):
                     loaded.append(lname)
                 else:
                     skipped.append(lname)
@@ -282,24 +284,52 @@ def load_h5_weights(h5_path, params, batch_stats=None, verbose=False,
     return params, batch_stats, report
 
 
-def _assign_transformer_layer(params, lname, weights):
+def _xf_counter_bases(layers, outer_of):
+    """Minimum Dense / LayerNormalization auto-counter among the
+    'transformer' group's inner layers. Keras auto-counters are
+    SESSION-global: a checkpoint saved after any other unnamed
+    Dense/LayerNormalization was created carries offset counters
+    (dense_7, dense_8, ...). The structural (i, j) = divmod mapping in
+    _assign_transformer_layer assumes 0-based counters, so normalize by
+    each family's minimum within the group — the encoder creates its
+    inner layers consecutively, so min == the group's true base."""
+    dense, ln = [], []
+    for name in layers:
+        if outer_of.get(name) != "transformer":
+            continue
+        m = _XF_DENSE_RE.match(name)
+        if m:
+            dense.append(int(m.group(1) or 0))
+        m = _XF_LN_RE.match(name)
+        if m:
+            ln.append(int(m.group(1) or 0))
+    return (min(dense) if dense else 0, min(ln) if ln else 0)
+
+
+def _assign_transformer_layer(params, lname, weights, bases=(0, 0)):
     """Map one of the reference transformer encoder's auto-named inner
     layers (saved under the single 'transformer' layer group,
     model_transformer.py:216-349) onto
     models/transformer.py::ViewFusionTransformer ('view_transformer' in
     the detector tree).
 
-    Dense counter N decomposes as (i, j) = divmod(N, 6): j in 0..3 are
-    the i-th EncoderLayer's MHA wq/wk/wv/out projections (keras [d, d]
-    kernels reshaped to flax MultiHeadDotProductAttention's head-split
-    layout [d, H, d/H] / [H, d/H, d]); j == 4/5 the FFN pair. A dense
-    whose encoder-layer index does not exist in the tree is the final
-    token projection (Transformer.final_layer, model_transformer.py:
-    340-345). LayerNorm counter M: encoder layer M//2, ln{M % 2 + 1}
-    (gamma -> scale, beta -> bias). Returns True when assigned."""
+    Dense counter N (normalized by the group's minimum counter, `bases`
+    — see _xf_counter_bases) decomposes as (i, j) = divmod(N, 6):
+    j in 0..3 are the i-th EncoderLayer's MHA wq/wk/wv/out projections
+    (keras [d, d] kernels reshaped to flax
+    MultiHeadDotProductAttention's head-split layout [d, H, d/H] /
+    [H, d/H, d]); j == 4/5 the FFN pair. A dense whose encoder-layer
+    index does not exist in the tree is the final token projection
+    (Transformer.final_layer, model_transformer.py:340-345). LayerNorm
+    counter M: encoder layer M//2, ln{M % 2 + 1} (gamma -> scale,
+    beta -> bias). Returns True when assigned. All of a layer's writes
+    are validated before any is applied, so a raising layer leaves the
+    tree untouched ('skipped' really means untouched)."""
     root = params.get("view_transformer")
     if root is None:
         return False
+
+    staged = []
 
     def reshape_to(tree_path, leaf, value):
         node = root
@@ -308,30 +338,36 @@ def _assign_transformer_layer(params, lname, weights):
         expect = np.asarray(node[leaf])
         if expect.size != value.size:
             raise KeyError(f"size mismatch {expect.shape} vs {value.shape}")
-        node[leaf] = value.reshape(expect.shape).astype(expect.dtype)
+        staged.append((node, leaf,
+                       value.reshape(expect.shape).astype(expect.dtype)))
+
+    def commit():
+        for node, leaf, value in staged:
+            node[leaf] = value
+        return True
 
     m = _XF_DENSE_RE.match(lname)
     if m:
-        n = int(m.group(1) or 0)
+        n = int(m.group(1) or 0) - bases[0]
         i, j = divmod(n, 6)
         kernel, bias = weights["kernel"], weights["bias"]
         if f"layer{i}" not in root:
             reshape_to(("token_proj",), "kernel", kernel)
             reshape_to(("token_proj",), "bias", bias)
-            return True
+            return commit()
         sub = ({0: ("mha", "query"), 1: ("mha", "key"),
                 2: ("mha", "value"), 3: ("mha", "out"),
                 4: ("ffn1",), 5: ("ffn2",)})[j]
         reshape_to((f"layer{i}",) + sub, "kernel", kernel)
         reshape_to((f"layer{i}",) + sub, "bias", bias)
-        return True
+        return commit()
     m = _XF_LN_RE.match(lname)
     if m:
-        n = int(m.group(1) or 0)
+        n = int(m.group(1) or 0) - bases[1]
         i, j = divmod(n, 2)
         reshape_to((f"layer{i}", f"ln{j + 1}"), "scale", weights["gamma"])
         reshape_to((f"layer{i}", f"ln{j + 1}"), "bias", weights["beta"])
-        return True
+        return commit()
     return False
 
 

@@ -326,9 +326,9 @@ def test_nms_protocol_ap_ceiling_640_scenes():
         seed=1, obj_px_range=(180.0, 380.0))
     ds.prepare()
     faithful = _nms_ap_ceiling(
-        ds, types.SimpleNamespace(DETECTION_NMS_THRESHOLD=0.3), 2)
+        ds, types.SimpleNamespace(DETECTION_NMS_THRESHOLD=0.3))
     relaxed = _nms_ap_ceiling(
-        ds, types.SimpleNamespace(DETECTION_NMS_THRESHOLD=0.55), 2)
+        ds, types.SimpleNamespace(DETECTION_NMS_THRESHOLD=0.55))
     assert faithful == 0.75
     assert relaxed == 1.0
 

@@ -463,3 +463,93 @@ def test_coco_h5_end_to_end_detect_1024(tmp_path):
     assert r["scores"].shape == (n,)
     assert r["masks"].shape[:2] == (1024, 1024)
     assert np.isfinite(r["scores"]).all()
+
+
+def _fake_xf_tree(d=8, heads=2, dff=16, seq=32, target=16, layers=1):
+    """Minimal view_transformer param tree shaped like
+    models/transformer.py::ViewFusionTransformer for unit-testing
+    _assign_transformer_layer's structural mapping."""
+    dh = d // heads
+    z = np.zeros
+    def mha_proj(out=False):
+        if out:
+            return {"kernel": z((heads, dh, d), np.float32),
+                    "bias": z((d,), np.float32)}
+        return {"kernel": z((d, heads, dh), np.float32),
+                "bias": z((heads, dh), np.float32)}
+    tree = {}
+    for i in range(layers):
+        tree[f"layer{i}"] = {
+            "mha": {"query": mha_proj(), "key": mha_proj(),
+                    "value": mha_proj(), "out": mha_proj(out=True)},
+            "ffn1": {"kernel": z((d, dff), np.float32),
+                     "bias": z((dff,), np.float32)},
+            "ffn2": {"kernel": z((dff, d), np.float32),
+                     "bias": z((d,), np.float32)},
+            "ln1": {"scale": z((d,), np.float32),
+                    "bias": z((d,), np.float32)},
+            "ln2": {"scale": z((d,), np.float32),
+                    "bias": z((d,), np.float32)},
+        }
+    tree["token_proj"] = {"kernel": z((seq, target), np.float32),
+                          "bias": z((target,), np.float32)}
+    return {"view_transformer": tree}
+
+
+def test_xf_import_counter_offset():
+    """Keras Dense/LayerNormalization auto-counters are session-global:
+    a checkpoint saved after other unnamed layers existed carries offset
+    counters (dense_7, ...). The importer must normalize by the group's
+    minimum counter, not assume 0-based."""
+    from mulit_view_object_detection_tpu.utils.h5_import import (
+        _assign_transformer_layer, _xf_counter_bases)
+
+    d, heads, dff, seq, target = 8, 2, 16, 32, 16
+    params = _fake_xf_tree(d, heads, dff, seq, target, layers=1)
+    # offset group: dense_7..dense_12 are layer 0's wq/wk/wv/out/ffn1/
+    # ffn2; dense_13 is the final token projection; layer_normalization_3
+    # and _4 are layer 0's ln1/ln2.
+    shapes = [(d, d), (d, d), (d, d), (d, d), (d, dff), (dff, d),
+              (seq, target)]
+    layer_w = {}
+    for k, shape in enumerate(shapes):
+        name = f"dense_{7 + k}"
+        layer_w[name] = {
+            "kernel": np.full(shape, float(k + 1), np.float32),
+            "bias": np.full((shape[1],), float(k + 1), np.float32)}
+    for k in range(2):
+        layer_w[f"layer_normalization_{3 + k}"] = {
+            "gamma": np.full((d,), 10.0 + k, np.float32),
+            "beta": np.full((d,), 20.0 + k, np.float32)}
+    outer_of = {name: "transformer" for name in layer_w}
+    bases = _xf_counter_bases(layer_w, outer_of)
+    assert bases == (7, 3)
+    for name, w in layer_w.items():
+        assert _assign_transformer_layer(params, name, w, bases)
+
+    root = params["view_transformer"]
+    assert root["layer0"]["mha"]["query"]["kernel"].flat[0] == 1.0
+    assert root["layer0"]["mha"]["out"]["kernel"].flat[0] == 4.0
+    assert root["layer0"]["ffn1"]["kernel"].flat[0] == 5.0
+    assert root["layer0"]["ffn2"]["kernel"].flat[0] == 6.0
+    assert root["token_proj"]["kernel"].flat[0] == 7.0
+    assert root["layer0"]["ln1"]["scale"].flat[0] == 10.0
+    assert root["layer0"]["ln2"]["scale"].flat[0] == 11.0
+    assert root["layer0"]["ln2"]["bias"].flat[0] == 21.0
+
+
+def test_xf_import_skipped_layer_is_untouched():
+    """A transformer inner layer whose bias mismatches must raise WITHOUT
+    having installed its kernel — 'skipped' means untouched (keras
+    by_name semantics), not half-written."""
+    from mulit_view_object_detection_tpu.utils.h5_import import (
+        _assign_transformer_layer)
+
+    d = 8
+    params = _fake_xf_tree(d=d, layers=1)
+    bad = {"kernel": np.full((d, d), 5.0, np.float32),
+           "bias": np.full((d * 3,), 5.0, np.float32)}  # size mismatch
+    with pytest.raises(KeyError):
+        _assign_transformer_layer(params, "dense", bad, (0, 0))
+    q = params["view_transformer"]["layer0"]["mha"]["query"]
+    assert q["kernel"].flat[0] == 0.0 and q["bias"].flat[0] == 0.0

@@ -35,6 +35,40 @@ def test_bilinear_gather_matches_xla(rng):
     np.testing.assert_allclose(out, expect, atol=1e-5)
 
 
+def test_bilinear_gather_width_one_plane(rng):
+    """fw == 1 regression: the single-pass W-build's flat-column offsets
+    collide there (the x0+1 and y0+1 taps are both at d == 1); the
+    pre-fix nested-where chain silently dropped the y0+1 tap for
+    in-bounds x0 == 0, losing the (1-lx)*ly row weight. A 1-wide plane
+    is reachable in practice (P6 of a 64-px input). fw == 2 is included
+    as the nearest non-colliding boundary."""
+    for fh, fw in ((8, 1), (1, 1), (8, 2)):
+        bv, c, n = 2, 3, 23
+        feats = rng.rand(bv, fh * fw, c).astype(np.float32)
+        x = rng.uniform(-1.5, fw + 0.5, (bv, n)).astype(np.float32)
+        y = rng.uniform(-1.5, fh + 0.5, (bv, n)).astype(np.float32)
+        # force fractional ly on in-bounds columns (the dropped-tap case)
+        x[:, :8] = 0.25
+        y[:, :8] = rng.uniform(0.1, fh - 1.1, (bv, 8)) + 0.5
+
+        out = np.asarray(bilinear_gather(jnp.asarray(feats),
+                                         jnp.asarray(x), jnp.asarray(y),
+                                         fh, fw, tile=128))
+        expect = np.zeros((bv, n, c), np.float32)
+        fmap = feats.reshape(bv, fh, fw, c)
+        for b in range(bv):
+            for i in range(n):
+                x0, y0 = int(np.floor(x[b, i])), int(np.floor(y[b, i]))
+                lx, ly = x[b, i] - x0, y[b, i] - y0
+                for dy, wy in ((0, 1 - ly), (1, ly)):
+                    for dx, wx in ((0, 1 - lx), (1, lx)):
+                        xi, yi = x0 + dx, y0 + dy
+                        if 0 <= xi < fw and 0 <= yi < fh:
+                            expect[b, i] += wx * wy * fmap[b, yi, xi]
+        np.testing.assert_allclose(out, expect, atol=1e-5,
+                                   err_msg=f"fh={fh} fw={fw}")
+
+
 def test_bilinear_gather_grad_matches_xla(rng):
     bv, fh, fw, c = 1, 6, 6, 3
     n = 16

@@ -82,13 +82,15 @@ def timed(fn, *args, iters=50):
         return lax.fori_loop(0, iters, body, a0)
 
     rest = args[1:]
-    loop(args[0], rest)  # compile+warm
+    # block on the warmup: dispatch is async, so an unblocked warmup's
+    # tail would otherwise queue ahead of the timed window and inflate it
+    np.asarray(loop(args[0], rest))  # compile+warm
     t0 = time.perf_counter()
     _ = np.asarray(loop(args[0], rest))
     t1 = time.perf_counter()
     loop_short = jax.jit(lambda a0, rest: lax.fori_loop(
         0, 5, lambda i, acc: a0 + jnp.mean(fn(acc, *rest)) * 0.0, a0))
-    loop_short(args[0], rest)
+    np.asarray(loop_short(args[0], rest))
     t2 = time.perf_counter()
     _ = np.asarray(loop_short(args[0], rest))
     t3 = time.perf_counter()

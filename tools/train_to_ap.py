@@ -32,7 +32,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def _nms_ap_ceiling(ds, cfg, num_views):
+def _nms_ap_ceiling(ds, cfg):
     """Upper bound the per-class detection NMS places on mean per-scene
     AP@0.5 for this dataset: even a PERFECT detector cannot emit two
     same-class detections overlapping more than DETECTION_NMS_THRESHOLD
@@ -49,6 +49,10 @@ def _nms_ap_ceiling(ds, cfg, num_views):
     thr = cfg.DETECTION_NMS_THRESHOLD
     fracs = []
     for key in list(ds.view_map.keys()):
+        # max_views=5 matches the eval protocol's scene-inclusion rule
+        # (cli.interior_multi._eval_views / interior_multi.py:516-520):
+        # the ceiling covers exactly the scenes evaluation covers. Only
+        # the MAIN view's GT enters the bound.
         view_ids = ds.load_view(5, key, rnd_state=0)
         if view_ids is None:
             continue
@@ -480,8 +484,7 @@ def main(argv=None):
             "box_ap50": round(float(np.mean(box_aps)), 4),
             "proposal_recall50": round(float(np.mean(recalls)), 4),
             "mean_detections": round(float(np.mean(ndet)), 2),
-            "nms_protocol_ap_ceiling": _nms_ap_ceiling(
-                ds, eval_cfg, args.num_views),
+            "nms_protocol_ap_ceiling": _nms_ap_ceiling(ds, eval_cfg),
             "per_scene": per_scene,
         }
 
