@@ -652,6 +652,15 @@ def main(argv=None):
         "initial_loss": round(float(np.mean(losses[:20])), 4)
         if losses else None,
         "seconds": round(elapsed, 1),
+        # `seconds`/`final_loss` cover only THIS process's segment; a
+        # resumed or eval-only invocation (the supervisor's segmented
+        # runs, BENCH_NOTES "Host RSS leak") reports 6250 steps but only
+        # the final segment's wall time, which reads as implausible
+        # without this marker.
+        "seconds_scope": (
+            "final segment only (resumed/eval-only; earlier segments' "
+            "wall time and losses are not included)"
+            if (args.resume or args.eval_only) else "full run"),
         "backend": jax.default_backend(),
         "history": history,
         "lr": cfg.LEARNING_RATE,
