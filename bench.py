@@ -122,8 +122,17 @@ def main():
         # packed-sublane stem emitter beats the generic path the 4x4
         # C_in=12 form takes. Kept as a capability, default off.
         STEM_S2D = os.environ.get("BENCH_STEM_S2D", "0") == "1"
+        # z-major U-Net convs (ZfoldConv3D/ZfoldPhaseConvTranspose3D):
+        # same params, 2D-emitter lowering (tests/test_zfold_fusion.py).
+        # Default is batch-aware: the z-slab concats add ~1.5x the U-Net
+        # input bytes, which the 3D-emitter saving outpays at small
+        # batch (b1 149.2 -> 194.3 fps) but not at b4+ (183.9 -> 174.3;
+        # measured 2026-08-20, same session pairs) — set below.
+        ZFOLD_FUSION = False
 
     BenchConfig.IMAGES_PER_GPU = args.batch
+    BenchConfig.ZFOLD_FUSION = (os.environ.get(
+        "BENCH_ZFOLD", "1" if args.batch <= 2 else "0") == "1")
     cfg = BenchConfig()
     model = MaskRCNN(cfg)
     batch = make_dummy_batch(cfg, training=False)

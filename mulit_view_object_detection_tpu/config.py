@@ -113,6 +113,25 @@ class Config:
     # always uses nn.ConvTranspose.
     PHASE_DECONV = False
 
+    # Serving-time z-major lowering of the conv3d U-Net's 3D convs
+    # (models/fusion.py::ZfoldConv3D / ZfoldPhaseConvTranspose3D): the
+    # kernel's z taps fold into input channels and Z folds into batch,
+    # so every U-Net conv runs through XLA:TPU's strong 2D emitters
+    # instead of the weak 3D path (round-4 trace: the U-Net was 2.8 ms
+    # of the 7.2 ms flagship frame; probe_zfold.py measured down1
+    # 0.369 -> 0.111 ms, up1 0.081 -> 0.016 ms standalone). Identical
+    # parameters, same math up to summation order (exactness:
+    # tests/test_zfold_fusion.py). Inference-only; training always uses
+    # the standard convs. Supersedes PHASE_DECONV for the U-Net when on
+    # (the z-fold up-convs are already phase-decomposed).
+    # Measured in-graph on v5e (flagship 2-view 640^2, same-session
+    # pairs): batch 1 149.2 -> 194.3 fps (+30%, ~88% of the HBM byte
+    # floor); batch 4 183.9 -> 174.3 (NEGATIVE: the z-slab concats add
+    # ~1.5x the U-Net input bytes, which amortizing batch no longer
+    # repays). Serve with it at batch <= 2; bench.py/profile_variants
+    # default it batch-aware.
+    ZFOLD_FUSION = False
+
     # Same lowering for the mask head's 2x2/2 deconv
     # (models/heads.py::_PhaseDeconv2x2 — with k == s it is a pure 1x1
     # conv + depth-to-space). Measured NEGATIVE on v5e at the flagship

@@ -378,6 +378,8 @@ class MaskRCNN(nn.Module):
                             lstm_hoist=bool(
                                 getattr(cfg, "LSTM_HOIST_INPUT", False))
                             and not training,
+                            zfold=bool(getattr(cfg, "ZFOLD_FUSION", False))
+                            and not training,
                             name=f"grid_fusion_p{li + 2}")
             collapse = Collapse(
                 cfg.GRID_REAS, cfg.TOP_DOWN_PYRAMID_SIZE, cfg.samples,

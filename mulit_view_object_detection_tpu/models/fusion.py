@@ -205,6 +205,106 @@ class PhaseConvTranspose3D(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class ZfoldConv3D(nn.Module):
+    """Drop-in for nn.Conv(features, (3, 3, 3), strides=(2, 2, 2),
+    padding='SAME') on a Z-MAJOR grid [B, Z, X, Y, C].
+
+    XLA:TPU's 3D-conv emitters tile poorly at the voxel-grid shapes (the
+    down1 convs measured 249 us each in-graph vs a ~36 us MXU floor,
+    round-4 trace). Same arithmetic as a 2D conv: the kernel's z taps
+    fold into input channels (z-slab concat; z_i = 2*z_o + dz under the
+    SAME pad (0, 1) of in-even/k3/s2) and Z folds into the batch dim,
+    where the 2D emitters are strong — measured 0.369 -> 0.111 ms at the
+    down1 shape (tools/probe_zfold.py), exact to f32 roundoff. Param
+    names/shapes match nn.Conv ('kernel' [3,3,3,Cin,F], 'bias' [F]) so
+    trained checkpoints and FOLD_BN apply unchanged.
+    (reference op: strided Conv3D in the MLF U-Net, model_multi.py:406-441)
+    """
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xz):
+        b, z, X, Y, c = xz.shape
+        assert z % 2 == 0 and X % 2 == 0 and Y % 2 == 0, (
+            "ZfoldConv3D needs even dims (SAME pad (0,1) at k=3, s=2)")
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 3, c, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k = kernel.astype(self.dtype)
+        xz = xz.astype(self.dtype)
+        zo = z // 2
+        xp = jnp.pad(xz, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+        slabs = [jax.lax.slice_in_dim(xp, dz, dz + 2 * zo - 1, 2, axis=1)
+                 for dz in range(3)]
+        x3 = jnp.concatenate(slabs, axis=-1).reshape(b * zo, X, Y, 3 * c)
+        # [kx,ky,kz,C,F] -> [kx,ky,kz*C,F]; channel index kz*C+c matches
+        # the slab concat order. The kernel's kz axis is the Z one even
+        # though the data is z-major: kx/ky slide over the 2D conv's
+        # spatial dims (X, Y) exactly as in the voxel-major layout.
+        kf = k.transpose(0, 1, 2, 3, 4).reshape(3, 3, 3 * c, self.features)
+        dn = jax.lax.conv_dimension_numbers(
+            x3.shape, kf.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x3, kf, (2, 2), [(0, 1), (0, 1)], dimension_numbers=dn)
+        y = y.reshape(b, zo, X // 2, Y // 2, self.features)
+        return y + bias.astype(self.dtype)
+
+
+class ZfoldPhaseConvTranspose3D(nn.Module):
+    """Drop-in for nn.ConvTranspose(features, (3, 3, 3), strides=(2, 2, 2),
+    padding='SAME') on a Z-MAJOR grid [B, Z, X, Y, C].
+
+    PhaseConvTranspose3D's 8 output-parity convs, with the z phases
+    folded into channels instead of run as 3D convs: even output z reads
+    [x[m-1] | x[m]] (kernel z taps [0, 2]), odd reads x[m] (tap [1]) —
+    see the per-axis derivation on PhaseConvTranspose3D. The x/y phases
+    stay spatial, so each of the 8 convs is a 2D conv with Z in batch.
+    Measured 0.081 -> 0.016 ms at the up1 shape (tools/probe_zfold.py),
+    exact to f32 roundoff. Param names/shapes match nn.ConvTranspose
+    ('kernel' [3,3,3,Cin,F], 'bias' [F]).
+    (reference op: Conv3DTranspose in the MLF U-Net, model_multi.py:406-441)
+    """
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xz):
+        b, z, X, Y, cin = xz.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k = kernel.astype(self.dtype)
+        xz = xz.astype(self.dtype)
+        f = self.features
+        ax = {0: (slice(0, None, 2), (1, 0)), 1: (slice(1, 2), (0, 0))}
+        xm1 = jnp.pad(xz, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :z]
+        x_even = jnp.concatenate([xm1, xz], axis=-1).reshape(
+            b * z, X, Y, 2 * cin)
+        x_odd = xz.reshape(b * z, X, Y, cin)
+        zk = {0: ((0, 2), x_even), 1: ((1,), x_odd)}
+        outs = []
+        for px in (0, 1):
+            for py in (0, 1):
+                for pz in (0, 1):
+                    (sx, padx), (sy, pady) = ax[px], ax[py]
+                    ztaps, xin = zk[pz]
+                    sub = jnp.concatenate(
+                        [k[sx, sy, zt] for zt in ztaps], axis=2)
+                    dn = jax.lax.conv_dimension_numbers(
+                        xin.shape, sub.shape, ("NHWC", "HWIO", "NHWC"))
+                    outs.append(jax.lax.conv_general_dilated(
+                        xin, sub, (1, 1), padding=[padx, pady],
+                        dimension_numbers=dn).reshape(b, z, X, Y, f))
+        y = jnp.stack(outs, axis=5)                   # [B,Z,X,Y,F,8]
+        y = y.reshape(b, z, X, Y, f, 2, 2, 2)
+        # phase index order is (px, py, pz); interleave each parity
+        # against its axis (z-major output)
+        y = y.transpose(0, 1, 7, 2, 5, 3, 6, 4)       # [B,Z,2,X,2,Y,2,F]
+        y = y.reshape(b, 2 * z, 2 * X, 2 * Y, f)
+        return y + bias.astype(self.dtype)
+
+
 class GridFusion(nn.Module):
     mode: str            # add | mean | ident | conv3d | lstm3d
     channels: int        # TOP_DOWN_PYRAMID_SIZE
@@ -224,6 +324,11 @@ class GridFusion(nn.Module):
     # lstm_hoist: serving-time hoisted ConvLSTM input conv
     # (Config.LSTM_HOIST_INPUT, see ConvLSTM3D.hoist_input).
     lstm_hoist: bool = False
+    # zfold: run the conv3d U-Net's 3D convs in a z-major layout with the
+    # kernel z taps folded into channels (ZfoldConv3D /
+    # ZfoldPhaseConvTranspose3D). Identical params, same math up to
+    # summation order (tests/test_zfold_fusion.py). Config.ZFOLD_FUSION.
+    zfold: bool = False
 
     @nn.compact
     def __call__(self, grids):
@@ -252,21 +357,33 @@ class GridFusion(nn.Module):
         if self.mode == "conv3d":
             if not self.inputs_fused:
                 b, v, nx, ny, nz, c = x.shape
-                x = x.transpose(0, 2, 3, 4, 1, 5).reshape(
-                    b, nx, ny, nz, v * c)
+                if self.zfold:
+                    # straight to z-major [B, Z, X, Y, V*C]
+                    x = x.transpose(0, 4, 2, 3, 1, 5).reshape(
+                        b, nz, nx, ny, v * c)
+                else:
+                    x = x.transpose(0, 2, 3, 4, 1, 5).reshape(
+                        b, nx, ny, nz, v * c)
                 x = nn.relu(x)
-            x = nn.Conv(self.channels * 2, (3, 3, 3), strides=(2, 2, 2),
-                        padding="SAME", name="down1", dtype=self.dtype)(x)
+            elif self.zfold:
+                x = x.transpose(0, 3, 1, 2, 4)    # [B,X,Y,Z,VC]->[B,Z,X,Y,VC]
+            if self.zfold:
+                Down = ZfoldConv3D
+                Deconv = ZfoldPhaseConvTranspose3D
+            else:
+                Down = functools.partial(nn.Conv, kernel_size=(3, 3, 3),
+                                         strides=(2, 2, 2), padding="SAME")
+                Deconv = (PhaseConvTranspose3D if self.phase_deconv else
+                          functools.partial(nn.ConvTranspose,
+                                            kernel_size=(3, 3, 3),
+                                            strides=(2, 2, 2),
+                                            padding="SAME"))
+            x = Down(self.channels * 2, name="down1", dtype=self.dtype)(x)
             x = BatchNorm(self.train_bn, self.dtype, self.fold_bn, name="bn1")(x)
             conv1 = nn.relu(x)
-            x = nn.Conv(self.channels * 4, (3, 3, 3), strides=(2, 2, 2),
-                        padding="SAME", name="down2", dtype=self.dtype)(conv1)
+            x = Down(self.channels * 4, name="down2", dtype=self.dtype)(conv1)
             x = BatchNorm(self.train_bn, self.dtype, self.fold_bn, name="bn2")(x)
             conv2 = nn.relu(x)
-            Deconv = (PhaseConvTranspose3D if self.phase_deconv else
-                      functools.partial(nn.ConvTranspose,
-                                        kernel_size=(3, 3, 3),
-                                        strides=(2, 2, 2), padding="SAME"))
             x = Deconv(self.channels * 2, name="up1",
                        dtype=self.dtype)(conv2)
             x = BatchNorm(self.train_bn, self.dtype, self.fold_bn, name="bn_up1")(x)
@@ -274,7 +391,10 @@ class GridFusion(nn.Module):
             x = jnp.concatenate([deconv1, conv1], axis=-1)
             x = Deconv(self.channels, name="up2", dtype=self.dtype)(x)
             x = BatchNorm(self.train_bn, self.dtype, self.fold_bn, name="bn_up2")(x)
-            return nn.relu(x)
+            x = nn.relu(x)
+            if self.zfold:
+                x = x.transpose(0, 2, 3, 1, 4)    # back to [B,X,Y,Z,C]
+            return x
 
         if self.mode == "lstm3d":
             x = nn.relu(x)

@@ -55,6 +55,10 @@ class Base(Config):
 
 def variant_config(name, batch=1):
     Base.IMAGES_PER_GPU = batch
+    # batch-aware default, matching bench.py: z-fold wins at b<=2
+    # (149.2 -> 194.3 fps b1) and loses at b4+ (183.9 -> 174.3)
+    Base.ZFOLD_FUSION = (os.environ.get(
+        "BENCH_ZFOLD", "1" if batch <= 2 else "0") == "1")
     if name == "vanilla":
         class C(Base):
             NUM_VIEWS = 2
