@@ -70,12 +70,20 @@ def main():
     ap.add_argument("--batch", type=int, default=1,
                     help="images per step; >1 measures batched serving "
                          "throughput (amortizes per-op overheads)")
+    ap.add_argument("--views", type=int, default=2,
+                    help="number of fused views (BASELINE.md north-star "
+                         "names N=2 AND N=4)")
+    ap.add_argument("--grid-reas", default="conv3d",
+                    choices=["conv3d", "lstm3d", "mean", "add", "ident"],
+                    help="fusion family for the bench row")
     args = ap.parse_args()
+    metric = (f"multiview_inference_{args.views}view_640_{args.grid_reas}"
+              + (f"_b{args.batch}" if args.batch != 1 else ""))
 
     err, probes = _probe_backend()
     if err is not None:
         print(json.dumps({
-            "metric": "multiview_inference_2view_640_conv3d",
+            "metric": metric,
             "value": 0.0, "unit": "frames/sec/chip", "vs_baseline": 0.0,
             "error": err, "probes": probes}))
         return
@@ -89,12 +97,12 @@ def main():
     class BenchConfig(Config):
         NAME = "bench"
         NUM_CLASSES = 23
-        NUM_VIEWS = 2
+        NUM_VIEWS = args.views
         BACKBONE = "resnet50"
         # multi-view fork backbone: 5-block stage 4 (model_multi.py:596)
         RESNET50_STAGE4_BLOCKS = 5
         TOP_DOWN_PYRAMID_SIZE = 64
-        GRID_REAS = "conv3d"
+        GRID_REAS = args.grid_reas
         IMAGE_MIN_DIM = 640
         IMAGE_MAX_DIM = 640
         PRE_NMS_LIMIT = 1500
@@ -195,11 +203,15 @@ def main():
     frames = (long_n - short_n) * cfg.BATCH_SIZE
     fps = frames / dt
     print(json.dumps({
-        "metric": "multiview_inference_2view_640_conv3d" + (
-            f"_b{args.batch}" if args.batch != 1 else ""),
+        "metric": metric,
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        # the reference publishes no throughput number; the denominator
+        # is the documented ESTIMATE from BENCH_NOTES.md (bracketed by a
+        # real measurement: the executed TF1 reference graph runs at
+        # 0.179 fps iso-hardware on this host's CPU, REFBENCH_CPU_r04)
+        "baseline_fps_estimated": BASELINE_FPS,
         "probes": probes,
     }))
 

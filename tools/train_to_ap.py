@@ -265,6 +265,22 @@ def main(argv=None):
                              "fused residual starts silent — required for "
                              "FROM-SCRATCH training of the faithful "
                              "P5-only protocol (see config.py)")
+    parser.add_argument("--holdout-scenes", type=int, default=0,
+                        help="if >0: ALSO evaluate on N held-out scenes "
+                             "drawn from the same distribution with "
+                             "--holdout-seed (never trained on) — the "
+                             "reference's val-split protocol "
+                             "(interior_multi.py:504-510). The artifact "
+                             "reports train-scene and held-out AP side "
+                             "by side")
+    parser.add_argument("--holdout-seed", type=int, default=0,
+                        help="seed for the held-out scene set "
+                             "(default: --seed + 1000)")
+    parser.add_argument("--holdout-view-seed", type=int, default=0,
+                        help="if >0: ALSO evaluate on the TRAINING "
+                             "scenes rendered from fresh camera poses "
+                             "seeded here (unseen viewpoints of seen "
+                             "scenes)")
     parser.add_argument("--bn-eval-batch-stats", action="store_true",
                         help="diagnostic: evaluate with BatchNorm in "
                              "batch-statistics mode (isolates running-"
@@ -346,13 +362,18 @@ def main(argv=None):
     engine = MaskRCNN("inference", eval_cfg, "/tmp/train_to_ap_logs")
     engine._ensure_state()
 
-    def evaluate(state):
+    def evaluate(state, eval_ds=None):
+        """Mean mask AP@0.5 over `eval_ds` (defaults to the TRAINING
+        dataset — that number is train-scene AP, labeled as such in the
+        artifact; pass a held-out dataset for generalization evidence,
+        the reference's val-split protocol, interior_multi.py:504-510)."""
+        eval_ds = ds if eval_ds is None else eval_ds
         engine._state = engine._state.replace(
             params=state.params, batch_stats=state.batch_stats)
-        keys = list(ds.view_map.keys())
+        keys = list(eval_ds.view_map.keys())
         if not with_depth:
-            return _eval_views(ds, eval_cfg, engine, keys, args.num_views,
-                               rnd_state=0)
+            return _eval_views(eval_ds, eval_cfg, engine, keys,
+                               args.num_views, rnd_state=0)
         # depth-conditioned eval (interior_transformer.py's protocol)
         from mulit_view_object_detection_tpu.cli.interior_transformer \
             import _detect_with_depth
@@ -361,13 +382,13 @@ def main(argv=None):
         from mulit_view_object_detection_tpu.eval.metrics import compute_ap
         aps = []
         for key in keys:
-            view_ids = ds.load_view(5, key, rnd_state=0)
+            view_ids = eval_ds.load_view(5, key, rnd_state=0)
             if view_ids is None:
                 continue
             view_ids = view_ids[:args.num_views]
             _, _, gt_class_id, gt_bbox, gt_mask = load_image_gt(
-                ds, eval_cfg, view_ids[0], use_mini_mask=False)
-            r = _detect_with_depth(engine, ds, eval_cfg, view_ids)[0]
+                eval_ds, eval_cfg, view_ids[0], use_mini_mask=False)
+            r = _detect_with_depth(engine, eval_ds, eval_cfg, view_ids)[0]
             if r["masks"].shape[-1] == 0 or gt_mask.shape[-1] == 0:
                 aps.append(0.0)
                 continue
@@ -585,6 +606,12 @@ def main(argv=None):
                 from mulit_view_object_detection_tpu.train.checkpoint \
                     import save_checkpoint
                 save_checkpoint(args.ckpt, state, step=start_step + step + 1)
+                # cumulative-cost ledger (VERDICT r4 weak #5): every
+                # segment logs its wall time so the final artifact can
+                # report the TRUE total cost across supervisor restarts
+                record_history({"segment_seconds":
+                                round(time.time() - t0, 1),
+                                "segment_steps": step + 1})
                 print(f"RSS {rss_gb:.1f} GB > {args.max_rss_gb} GB budget: "
                       f"checkpointed at step {start_step + step + 1}, "
                       f"exiting 75 for supervised restart", flush=True)
@@ -613,15 +640,47 @@ def main(argv=None):
     ap = -1.0 if args.skip_eval else evaluate(state)
     if not args.skip_eval and not args.eval_only:
         record_history({"step": start_step + n_steps, "ap50": round(ap, 4)})
+    # Held-out evaluation (VERDICT r4 #1): same weights, same detect ->
+    # compute_ap protocol, on scenes/viewpoints the model never trained
+    # on. Train-scene AP above demonstrates fit; these demonstrate
+    # generalization (the reference evaluates a val split,
+    # interior_multi.py:504-510).
+    holdout_scene_ap = holdout_view_ap = None
+    holdout_scene_ceiling = holdout_view_ceiling = None
+    holdout_seed = args.holdout_seed or (args.seed + 1000)
+    if args.holdout_scenes and not args.skip_eval:
+        hs_ds = SyntheticMultiViewDataset(
+            num_scenes=args.holdout_scenes, num_views=args.num_views,
+            image_size=args.image_size, num_classes=cfg.NUM_CLASSES,
+            seed=holdout_seed, obj_px_range=obj_px)
+        holdout_scene_ap = evaluate(state, hs_ds)
+        holdout_scene_ceiling = _nms_ap_ceiling(hs_ds, eval_cfg)
+        print(f"held-out-scene mask AP@0.5 = {holdout_scene_ap:.4f} "
+              f"(nms ceiling {holdout_scene_ceiling})", flush=True)
+    if args.holdout_view_seed and not args.skip_eval:
+        hv_ds = SyntheticMultiViewDataset(
+            num_scenes=args.scenes, num_views=args.num_views,
+            image_size=args.image_size, num_classes=cfg.NUM_CLASSES,
+            seed=args.seed, obj_px_range=obj_px,
+            view_seed=args.holdout_view_seed)
+        holdout_view_ap = evaluate(state, hv_ds)
+        holdout_view_ceiling = _nms_ap_ceiling(hv_ds, eval_cfg)
+        print(f"held-out-viewpoint mask AP@0.5 = {holdout_view_ap:.4f} "
+              f"(nms ceiling {holdout_view_ceiling})", flush=True)
     diag = None
     if args.diagnostics:
         diag = diagnose(state)
         print("diagnostics:", json.dumps(diag), flush=True)
+    if not args.eval_only and losses:
+        record_history({"segment_seconds": round(elapsed, 1),
+                        "segment_steps": n_steps})
+    cumulative_seconds = None
     if hist_path and os.path.exists(hist_path):
         # rebuild the FULL cross-segment trajectory; dedupe by absolute
         # step keeping the LAST sample (an exit-75 restart replays the
         # tail of the previous segment from its checkpoint)
         ap_by, loss_by = {}, {}
+        seg_seconds = []
         with open(hist_path) as f:
             for line in f:
                 # a segment SIGKILLed mid-append leaves a partial last
@@ -631,11 +690,16 @@ def main(argv=None):
                     e = json.loads(line)
                 except ValueError:
                     continue
+                if "segment_seconds" in e:
+                    seg_seconds.append(e["segment_seconds"])
+                    continue
                 (ap_by if "ap50" in e else loss_by)[e["step"]] = e
         if ap_by:
             history = [ap_by[s] for s in sorted(ap_by)]
         if loss_by:
             loss_history = [loss_by[s] for s in sorted(loss_by)]
+        if seg_seconds:
+            cumulative_seconds = round(sum(seg_seconds), 1)
     result = {
         "metric": "synthetic_train_to_ap50",
         "variant": args.variant,
@@ -643,6 +707,10 @@ def main(argv=None):
         "samples": cfg.samples,
         "nvox": cfg.nvox,
         "ap50": round(ap, 4),
+        # ap50 is TRAIN-SCENE AP: the eval scenes are the training
+        # scenes (fit evidence). Generalization evidence is the
+        # holdout_* fields below (when --holdout-* was given).
+        "ap50_eval_scope": "train scenes (same scenes used for training)",
         "steps": start_step + n_steps,
         "image_size": args.image_size,
         "num_views": args.num_views,
@@ -671,6 +739,20 @@ def main(argv=None):
         "rpn_anchor_scales": list(cfg.RPN_ANCHOR_SCALES),
         "seed": args.seed,
     }
+    if cumulative_seconds is not None:
+        result["cumulative_seconds"] = cumulative_seconds
+        result["cumulative_seconds_scope"] = (
+            "sum of all segments' training wall time (cross-restart "
+            "ledger in the history sidecar; excludes eval time)")
+    if holdout_scene_ap is not None:
+        result["holdout_scene_ap50"] = round(holdout_scene_ap, 4)
+        result["holdout_scene_nms_ceiling"] = holdout_scene_ceiling
+        result["holdout_scenes"] = args.holdout_scenes
+        result["holdout_seed"] = holdout_seed
+    if holdout_view_ap is not None:
+        result["holdout_view_ap50"] = round(holdout_view_ap, 4)
+        result["holdout_view_nms_ceiling"] = holdout_view_ceiling
+        result["holdout_view_seed"] = args.holdout_view_seed
     if args.variant == "xformer":
         result["xformer_arch"] = {
             "layers": cfg.XFORMER_NUM_LAYERS,
