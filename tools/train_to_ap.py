@@ -265,6 +265,19 @@ def main(argv=None):
                              "fused residual starts silent — required for "
                              "FROM-SCRATCH training of the faithful "
                              "P5-only protocol (see config.py)")
+    parser.add_argument("--scene-mode", default="legacy",
+                        choices=["legacy", "shapes", "hard"],
+                        help="synthetic scene generator mode "
+                             "(data/synthetic.py). 'shapes': class-coded "
+                             "silhouettes + visibility masks — REQUIRED "
+                             "for held-out-scene eval to be learnable "
+                             "(legacy colors are class-independent, so "
+                             "cross-scene class identity is arbitrary); "
+                             "'hard': + textured wall, striped "
+                             "distractors, forced occluders, NMS-"
+                             "compatible class layout (ceiling 1.0)")
+    parser.add_argument("--num-objects", type=int, default=3,
+                        help="objects per scene (hard scenes use 6+)")
     parser.add_argument("--holdout-scenes", type=int, default=0,
                         help="if >0: ALSO evaluate on N held-out scenes "
                              "drawn from the same distribution with "
@@ -336,7 +349,8 @@ def main(argv=None):
     ds = SyntheticMultiViewDataset(
         num_scenes=args.scenes, num_views=args.num_views,
         image_size=args.image_size, num_classes=cfg.NUM_CLASSES,
-        seed=args.seed, obj_px_range=obj_px)
+        seed=args.seed, obj_px_range=obj_px,
+        scene_mode=args.scene_mode, num_objects=args.num_objects)
 
     model = Model(cfg)
     batch0 = make_batch(ds, cfg, rnd_state=0, with_depth=with_depth)
@@ -652,7 +666,8 @@ def main(argv=None):
         hs_ds = SyntheticMultiViewDataset(
             num_scenes=args.holdout_scenes, num_views=args.num_views,
             image_size=args.image_size, num_classes=cfg.NUM_CLASSES,
-            seed=holdout_seed, obj_px_range=obj_px)
+            seed=holdout_seed, obj_px_range=obj_px,
+            scene_mode=args.scene_mode, num_objects=args.num_objects)
         holdout_scene_ap = evaluate(state, hs_ds)
         holdout_scene_ceiling = _nms_ap_ceiling(hs_ds, eval_cfg)
         print(f"held-out-scene mask AP@0.5 = {holdout_scene_ap:.4f} "
@@ -662,7 +677,8 @@ def main(argv=None):
             num_scenes=args.scenes, num_views=args.num_views,
             image_size=args.image_size, num_classes=cfg.NUM_CLASSES,
             seed=args.seed, obj_px_range=obj_px,
-            view_seed=args.holdout_view_seed)
+            view_seed=args.holdout_view_seed,
+            scene_mode=args.scene_mode, num_objects=args.num_objects)
         holdout_view_ap = evaluate(state, hv_ds)
         holdout_view_ceiling = _nms_ap_ceiling(hv_ds, eval_cfg)
         print(f"held-out-viewpoint mask AP@0.5 = {holdout_view_ap:.4f} "
@@ -738,6 +754,8 @@ def main(argv=None):
         "det_nms_threshold": eval_cfg.DETECTION_NMS_THRESHOLD,
         "rpn_anchor_scales": list(cfg.RPN_ANCHOR_SCALES),
         "seed": args.seed,
+        "scene_mode": args.scene_mode,
+        "num_objects": args.num_objects,
     }
     if cumulative_seconds is not None:
         result["cumulative_seconds"] = cumulative_seconds
