@@ -265,6 +265,12 @@ def main(argv=None):
                              "fused residual starts silent — required for "
                              "FROM-SCRATCH training of the faithful "
                              "P5-only protocol (see config.py)")
+    parser.add_argument("--stage4-blocks", type=int, default=0,
+                        help="resnet50 stage-4 identity blocks; 5 = the "
+                             "multi-view fork's faithful backbone "
+                             "(model_multi.py:596), required for "
+                             "same-weights h5 export into the reference "
+                             "graph (0 = framework default)")
     parser.add_argument("--scene-mode", default="legacy",
                         choices=["legacy", "shapes", "hard"],
                         help="synthetic scene generator mode "
@@ -324,6 +330,8 @@ def main(argv=None):
                        samples_override=args.samples or None,
                        grid_reas=args.grid_reas,
                        xformer_arch=args.xformer_arch)
+    if args.stage4_blocks:
+        cfg.RESNET50_STAGE4_BLOCKS = args.stage4_blocks
     if args.lr:
         cfg.LEARNING_RATE = args.lr
     if args.batch:
@@ -370,6 +378,8 @@ def main(argv=None):
         ZERO_PG_LEVELS = cfg.ZERO_PG_LEVELS
         XFORMER_KEEP_MAIN_LEVELS = cfg.XFORMER_KEEP_MAIN_LEVELS
         RPN_ANCHOR_SCALES = cfg.RPN_ANCHOR_SCALES
+        RESNET50_STAGE4_BLOCKS = getattr(cfg, "RESNET50_STAGE4_BLOCKS",
+                                         None)
         DETECTION_NMS_THRESHOLD = (args.det_nms if args.det_nms is not None
                                    else cfg.DETECTION_NMS_THRESHOLD)
     eval_cfg = EvalConfig()
@@ -756,6 +766,7 @@ def main(argv=None):
         "seed": args.seed,
         "scene_mode": args.scene_mode,
         "num_objects": args.num_objects,
+        "stage4_blocks": args.stage4_blocks or None,
     }
     if cumulative_seconds is not None:
         result["cumulative_seconds"] = cumulative_seconds
