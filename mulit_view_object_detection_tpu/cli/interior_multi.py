@@ -69,8 +69,32 @@ def load_dataset(dataset_dir, subset):
     return ds
 
 
+def _apply_overrides(config, spec):
+    """Apply 'KEY=VAL,KEY2=VAL2' config overrides (the CLI analog of the
+    reference's subclass-and-override pattern; values parse as python
+    literals, falling back to strings). Unknown keys are rejected —
+    silently accepting a typo would reproduce the reference's ad-hoc-key
+    AttributeError trap the config layer exists to fix."""
+    if not spec:
+        return config
+    import ast
+    for item in spec.split(","):
+        key, _, raw = item.partition("=")
+        key = key.strip()
+        if not hasattr(type(config), key) and not hasattr(config, key):
+            raise SystemExit(f"--overrides: unknown config key {key!r}")
+        try:
+            val = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            val = raw
+        setattr(config, key, val)
+    # recompute derived values (BATCH_SIZE, IMAGE_SHAPE, META_SIZE)
+    config.__init__()
+    return config
+
+
 def cmd_train(args):
-    config = InteriorNetConfig()
+    config = _apply_overrides(InteriorNetConfig(), args.overrides)
     config.display()
     model = MaskRCNN(mode="training", config=config, model_dir=args.logs)
     if args.model:
@@ -79,18 +103,20 @@ def cmd_train(args):
     dataset_train = load_dataset(args.dataset, "train")
     dataset_val = load_dataset(args.dataset, "val")
 
-    # 3-stage schedule (interior_multi.py:483-501)
+    # 3-stage schedule (interior_multi.py:483-501); --epochs scales the
+    # ABSOLUTE stage targets (e.g. '2,4,10' for a short smoke schedule)
+    e1, e2, e3 = (int(x) for x in args.epochs.split(","))
     print("Training grid fusion and heads")
     model.train(dataset_train, dataset_val,
-                learning_rate=config.LEARNING_RATE, epochs=301,
+                learning_rate=config.LEARNING_RATE, epochs=e1,
                 layers="grid+")
     print("Training Resnet stage 4 and up")
     model.train(dataset_train, dataset_val,
-                learning_rate=config.LEARNING_RATE, epochs=4001,
+                learning_rate=config.LEARNING_RATE, epochs=e2,
                 layers="4+")
     print("Fine tune all layers")
     model.train(dataset_train, dataset_val,
-                learning_rate=config.LEARNING_RATE / 10, epochs=4501,
+                learning_rate=config.LEARNING_RATE / 10, epochs=e3,
                 layers="all")
 
 
@@ -173,7 +199,7 @@ def _eval_views(dataset, config, model, keys, num_views, rnd_state=0,
 
 
 def cmd_evaluate(args):
-    config = InferenceConfig()
+    config = _apply_overrides(InferenceConfig(), args.overrides)
     model = MaskRCNN(mode="inference", config=config, model_dir=args.logs)
     _load_model_weights(model, args)
     dataset_val = load_dataset(args.dataset, "val")
@@ -189,7 +215,7 @@ def cmd_evaluate(args):
 
 
 def cmd_visualize(args):
-    config = InferenceConfig()
+    config = _apply_overrides(InferenceConfig(), args.overrides)
     model = MaskRCNN(mode="inference", config=config, model_dir=args.logs)
     _load_model_weights(model, args)
     dataset_val = load_dataset(args.dataset, "val")
@@ -229,6 +255,12 @@ def main(argv=None):
                         help="Path to Matterport COCO h5 (for --model coco)")
     parser.add_argument("--logs", default=DEFAULT_LOGS_DIR)
     parser.add_argument("--limit", type=int, default=0)
+    parser.add_argument("--overrides", default="",
+                        help="config overrides KEY=VAL,... (CLI analog of the\n"
+                             "reference's subclass-and-override pattern)")
+    parser.add_argument("--epochs", default="301,4001,4501",
+                        help="absolute 3-stage epoch targets (reference\n"
+                             "defaults: interior_multi.py:483-501)")
     parser.add_argument("--iou-range", action="store_true",
                         help="evaluate COCO-style mAP@0.5:0.95 instead of "
                              "mAP@0.5")
