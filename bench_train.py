@@ -91,6 +91,17 @@ def main():
                          "scaling of training throughput")
     ap.add_argument("--remat", action="store_true",
                     help="enable backward-pass rematerialization")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate the train state into the step loop "
+                         "(in-place param/momentum buffers)")
+    ap.add_argument("--bf16-momentum", action="store_true",
+                    help="store SGD momentum in bfloat16 (halves the "
+                         "momentum buffer's HBM read+write)")
+    ap.add_argument("--zfold", action="store_true",
+                    help="z-major U-Net lowering (ZFOLD_FUSION) in the "
+                         "TRAINING graph (its serving result was "
+                         "batch-dependent; the train step's byte mix "
+                         "differs)")
     args = ap.parse_args()
 
     import jax
@@ -101,13 +112,26 @@ def main():
         create_train_state, make_train_step)
 
     cfg = flagship_train_config(batch=args.batch, remat=args.remat)
+    if args.zfold:
+        cfg.ZFOLD_FUSION = True
     model = MaskRCNN(cfg)
     batch = make_flagship_train_batch(cfg)
 
     state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
+    if args.bf16_momentum:
+        import jax.numpy as jnp
+
+        from mulit_view_object_detection_tpu.train.optim import (
+            make_optimizer)
+        tx = make_optimizer(cfg.LEARNING_RATE, cfg.LEARNING_MOMENTUM,
+                            cfg.GRADIENT_CLIP_NORM,
+                            accumulator_dtype=jnp.bfloat16)
+        state = state.replace(tx=tx, opt_state=tx.init(state.params))
     train_step = make_train_step(cfg, stage="all", donate=False)
 
-    @functools.partial(jax.jit, static_argnums=(2,))
+    donate_kw = {"donate_argnums": (0,)} if args.donate else {}
+
+    @functools.partial(jax.jit, static_argnums=(2,), **donate_kw)
     def train_loop(state, batch, iters):
         def body(i, carry):
             st, rng_ = carry
@@ -117,9 +141,15 @@ def main():
 
         return lax.fori_loop(0, iters, body, (state, jax.random.PRNGKey(7)))
 
+    # with donation the input state buffers are invalidated per call:
+    # keep a host copy and re-place it for every timed run
+    state_host = (jax.tree_util.tree_map(np.asarray, state)
+                  if args.donate else None)
+
     def run(iters):
+        st_in = (jax.device_put(state_host) if args.donate else state)
         t0 = time.perf_counter()
-        st, _ = train_loop(state, batch, iters)
+        st, _ = train_loop(st_in, batch, iters)
         _ = np.asarray(st.step)
         return time.perf_counter() - t0
 
@@ -129,8 +159,11 @@ def main():
     t6 = run(6)
     ms = (t6 - t1) / 5 * 1e3
     sps = 1e3 / ms
-    suffix = (f"_b{args.batch}" if args.batch != 1 else "") + (
-        "_remat" if args.remat else "")
+    suffix = ((f"_b{args.batch}" if args.batch != 1 else "")
+              + ("_remat" if args.remat else "")
+              + ("_donate" if args.donate else "")
+              + ("_bf16mom" if args.bf16_momentum else "")
+              + ("_zfold" if args.zfold else ""))
     print(json.dumps({
         "metric": "multiview_train_step_2view_640_conv3d" + suffix,
         "value": round(sps, 3),
