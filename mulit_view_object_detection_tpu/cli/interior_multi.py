@@ -78,7 +78,18 @@ def _apply_overrides(config, spec):
     if not spec:
         return config
     import ast
-    for item in spec.split(","):
+    items, depth, cur = [], 0, []
+    for ch in spec:
+        if ch == "," and depth == 0:
+            items.append("".join(cur))
+            cur = []
+            continue
+        depth += ch in "([{"
+        depth -= ch in ")]}"
+        cur.append(ch)
+    if cur:
+        items.append("".join(cur))
+    for item in items:
         key, _, raw = item.partition("=")
         key = key.strip()
         if not hasattr(type(config), key) and not hasattr(config, key):
