@@ -63,6 +63,21 @@ def variant_config(name, batch=1):
         class C(Base):
             NUM_VIEWS = 2
             VANILLA = True
+    elif name == "vanilla4":
+        # 4 views through the backbone, no geometry: isolates the
+        # per-view backbone scaling term of the 2->4-view cost
+        class C(Base):
+            NUM_VIEWS = 4
+            VANILLA = True
+    elif name == "ident":
+        # geometry without the U-Net: + unprojection/reprojection term
+        class C(Base):
+            NUM_VIEWS = 2
+            GRID_REAS = "ident"
+    elif name == "ident4":
+        class C(Base):
+            NUM_VIEWS = 4
+            GRID_REAS = "ident"
     elif name == "conv3d":
         class C(Base):
             NUM_VIEWS = 2
