@@ -120,15 +120,15 @@ def cmd_train(args):
     print("Training grid fusion and heads")
     model.train(dataset_train, dataset_val,
                 learning_rate=config.LEARNING_RATE, epochs=e1,
-                layers="grid+")
+                layers="grid+", save_every_epochs=args.save_every)
     print("Training Resnet stage 4 and up")
     model.train(dataset_train, dataset_val,
                 learning_rate=config.LEARNING_RATE, epochs=e2,
-                layers="4+")
+                layers="4+", save_every_epochs=args.save_every)
     print("Fine tune all layers")
     model.train(dataset_train, dataset_val,
                 learning_rate=config.LEARNING_RATE / 10, epochs=e3,
-                layers="all")
+                layers="all", save_every_epochs=args.save_every)
 
 
 def _load_model_weights(model, args):
@@ -269,6 +269,9 @@ def main(argv=None):
     parser.add_argument("--overrides", default="",
                         help="config overrides KEY=VAL,... (CLI analog of the\n"
                              "reference's subclass-and-override pattern)")
+    parser.add_argument("--save-every", type=int, default=50,
+                        help="checkpoint every N epochs (and at stage "
+                             "ends); 1 = per-epoch for kill/resume")
     parser.add_argument("--epochs", default="301,4001,4501",
                         help="absolute 3-stage epoch targets (reference\n"
                              "defaults: interior_multi.py:483-501)")
