@@ -423,10 +423,14 @@ def main(argv=None):
             aps.append(ap)
         return float(np.mean(aps)) if aps else 0.0
 
-    def diagnose(state):
+    def diagnose(state, diag_ds=None):
         """Plateau diagnostics: box AP vs mask AP (is the projective
         bottleneck blurring masks, or are detections missing?) and RPN
-        proposal recall (is the detector even seeing the objects?)."""
+        proposal recall (is the detector even seeing the objects?).
+        `diag_ds` defaults to the training dataset; pass a holdout
+        dataset to root-cause generalization gaps (box-vs-mask-vs-class
+        attribution on unseen scenes)."""
+        diag_ds = ds if diag_ds is None else diag_ds
         from mulit_view_object_detection_tpu.data.generator import (
             load_image_gt)
         from mulit_view_object_detection_tpu.eval.metrics import (
@@ -450,8 +454,8 @@ def main(argv=None):
         from mulit_view_object_detection_tpu.data.molding import (
             resize_image)
 
-        for key in list(ds.view_map.keys()):
-            view_ids = ds.load_view(5, key, rnd_state=0)
+        for key in list(diag_ds.view_map.keys()):
+            view_ids = diag_ds.load_view(5, key, rnd_state=0)
             if view_ids is None:
                 continue
             view_ids = view_ids[:args.num_views]
@@ -465,18 +469,18 @@ def main(argv=None):
                       // eval_cfg.BACKBONE_STRIDES[3])
                 depths = np.zeros((1, args.num_views, fh, fh), np.float32)
             for i, vid in enumerate(view_ids):
-                im = ds.load_image(vid)
+                im = diag_ds.load_image(vid)
                 im, *_ = resize_image(
                     im, min_dim=eval_cfg.IMAGE_MIN_DIM,
                     min_scale=eval_cfg.IMAGE_MIN_SCALE,
                     max_dim=eval_cfg.IMAGE_MAX_DIM,
                     mode=eval_cfg.IMAGE_RESIZE_MODE)
                 views.append(im)
-                Rcam[0, i] = ds.load_R(vid)
+                Rcam[0, i] = diag_ds.load_R(vid)
                 if with_depth:
-                    depths[0, i] = ds.load_depth(vid, eval_cfg)
+                    depths[0, i] = diag_ds.load_depth(vid, eval_cfg)
             views = np.stack(views)
-            Kmat = ds.K[None].astype(np.float32)
+            Kmat = diag_ds.K[None].astype(np.float32)
             r = engine.detect([views], Rcam=Rcam, Kmat=Kmat,
                               depths=depths)[0]
             ndet.append(int(r["class_ids"].shape[0]))
@@ -529,7 +533,7 @@ def main(argv=None):
             "box_ap50": round(float(np.mean(box_aps)), 4),
             "proposal_recall50": round(float(np.mean(recalls)), 4),
             "mean_detections": round(float(np.mean(ndet)), 2),
-            "nms_protocol_ap_ceiling": _nms_ap_ceiling(ds, eval_cfg),
+            "nms_protocol_ap_ceiling": _nms_ap_ceiling(diag_ds, eval_cfg),
             "per_scene": per_scene,
         }
 
@@ -694,9 +698,22 @@ def main(argv=None):
         print(f"held-out-viewpoint mask AP@0.5 = {holdout_view_ap:.4f} "
               f"(nms ceiling {holdout_view_ceiling})", flush=True)
     diag = None
+    diag_hv = diag_hs = None
     if args.diagnostics:
         diag = diagnose(state)
         print("diagnostics:", json.dumps(diag), flush=True)
+        # holdout-set diagnostics: attribute a generalization gap to
+        # boxes vs masks vs classes vs proposals on the UNSEEN sets
+        if holdout_view_ap is not None:
+            diag_hv = diagnose(state, hv_ds)
+            print("diagnostics (holdout-view):",
+                  json.dumps({k: v for k, v in diag_hv.items()
+                              if k != "per_scene"}), flush=True)
+        if holdout_scene_ap is not None:
+            diag_hs = diagnose(state, hs_ds)
+            print("diagnostics (holdout-scene):",
+                  json.dumps({k: v for k, v in diag_hs.items()
+                              if k != "per_scene"}), flush=True)
     if not args.eval_only and losses:
         record_history({"segment_seconds": round(elapsed, 1),
                         "segment_steps": n_steps})
@@ -794,6 +811,10 @@ def main(argv=None):
         }
     if diag:
         result["diagnostics"] = diag
+    if diag_hv:
+        result["diagnostics_holdout_view"] = diag_hv
+    if diag_hs:
+        result["diagnostics_holdout_scene"] = diag_hs
     if loss_history:
         result["loss_history"] = loss_history
     print(json.dumps(result))
