@@ -186,8 +186,19 @@ def init_distributed(coordinator_address=None, num_processes=None,
     """
     explicit = (coordinator_address is not None or
                 num_processes is not None or process_id is not None)
-    if not explicit and not any(v in os.environ for v in _CLUSTER_ENV_VARS):
-        return False  # single-process: leave JAX untouched
+    if not explicit:
+        cluster = any(v in os.environ for v in _CLUSTER_ENV_VARS
+                      if v != "TPU_WORKER_HOSTNAMES")
+        # TPU_WORKER_HOSTNAMES alone is only a cluster signal when it
+        # names MULTIPLE hosts: single-chip tunnel environments (axon)
+        # export it as "localhost", which must not trip a coordinator-
+        # less jax.distributed.initialize (found by the round-5 CLI
+        # end-to-end run: every CLI command crashed at startup here)
+        hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        if "," in hosts:
+            cluster = True
+        if not cluster:
+            return False  # single-process: leave JAX untouched
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -198,6 +209,15 @@ def init_distributed(coordinator_address=None, num_processes=None,
             return True
         log.error("jax.distributed.initialize failed: %s", e)
         raise
+    except ValueError as e:
+        if explicit:
+            raise
+        # env-var auto-detect found a cluster-ish variable but JAX could
+        # not derive a coordinator: fall back to single-process rather
+        # than crashing a local run
+        log.warning("jax.distributed auto-init failed (%s); continuing "
+                    "single-process", e)
+        return False
     return True
 
 
