@@ -100,8 +100,16 @@ def reference_layer_entries(params, batch_stats=None):
                 add(mod, conv(node))
 
     # ---- rpn: ONE nested saved layer, three inner convs ----------------
+    # Keras' by-name loader zips a nested submodel's stored weight list
+    # against layer.weights in BUILD order (rpn_graph: shared conv ->
+    # class raw -> bbox pred, model_multi.py:845-870) — alphabetical
+    # order loads the wrong tensors into the wrong convs.
     if "rpn" in params:
-        inners = {m: conv(params["rpn"][m]) for m in sorted(params["rpn"])}
+        order = ("rpn_conv_shared", "rpn_class_raw", "rpn_bbox_pred")
+        inners = {m: conv(params["rpn"][m])
+                  for m in order if m in params["rpn"]}
+        inners.update({m: conv(params["rpn"][m])
+                       for m in sorted(params["rpn"]) if m not in inners})
         entries.append(("rpn_model", inners))
 
     # ---- multi-view fusion ---------------------------------------------

@@ -97,6 +97,17 @@ def test_export_writes_reference_protocol(tmp_path):
         assert "rpn_model" in names
         wnames = [w.decode() for w in f["rpn_model"].attrs["weight_names"]]
         assert "rpn_conv_shared/kernel:0" in wnames
+        # Keras zips a nested submodel's stored list against
+        # layer.weights in BUILD order (shared -> class -> bbox);
+        # alphabetical order cross-loads the three convs
+        # (model_multi.py:845-870). Caught live by tf_keras'
+        # by-name loader in tools/crosscheck_reference.py.
+        assert wnames == ["rpn_conv_shared/kernel:0",
+                         "rpn_conv_shared/bias:0",
+                         "rpn_class_raw/kernel:0",
+                         "rpn_class_raw/bias:0",
+                         "rpn_bbox_pred/kernel:0",
+                         "rpn_bbox_pred/bias:0"]
         # deconv stored in keras [kh,kw,kd, out,in] layout => dataset
         # exists under the deconv layer name the reference builds
         assert any("grid_reas_P" in n and "_3D_conv_deconv_1" in n
