@@ -81,12 +81,12 @@ def time_loop(fn_loop, args, short=2, long=12, fetch=np.asarray):
     return (tl - ts) / (long - short) * 1e3
 
 
-def inference_report():
+def inference_report(variant="conv3d"):
     from tools.profile_variants import variant_config
     from mulit_view_object_detection_tpu.models.detector import (
         MaskRCNN, make_dummy_batch)
 
-    cfg = variant_config("conv3d")
+    cfg = variant_config(variant)
     model = MaskRCNN(cfg)
     batch = make_dummy_batch(cfg, training=False)
     rng = np.random.RandomState(0)
@@ -118,7 +118,7 @@ def inference_report():
         return lax.fori_loop(0, iters, body, det0)
 
     ms = time_loop(infer_loop, (variables, batch))
-    _report("conv3d_2view_640_inference", flops, byts, ms)
+    _report(f"{variant}_640_inference", flops, byts, ms)
 
 
 def train_report():
@@ -158,7 +158,10 @@ def train_report():
 
 if __name__ == "__main__":
     which = sys.argv[1:] or ["inference", "train"]
-    if "inference" in which:
-        inference_report()
-    if "train" in which:
-        train_report()
+    for w in which:
+        if w == "train":
+            train_report()
+        elif w.startswith("inference"):
+            # "inference" or "inference:<variant>" (profile_variants names)
+            _, _, var = w.partition(":")
+            inference_report(var or "conv3d")

@@ -147,6 +147,9 @@ def time_variant(name, batch=1):
     t2 = run(2)
     t12 = run(12)
     ms = (t12 - t2) / 10 * 1e3 / cfg.BATCH_SIZE
+    # (No cost analysis here: XLA counts a fori_loop body ONCE regardless
+    # of trip count, so loop-differencing flops/bytes yields exactly 0.
+    # tools/mfu_report.py compiles the single-step program for that.)
     print(json.dumps({"variant": name, "batch": cfg.BATCH_SIZE,
                       "ms_per_frame": round(ms, 2),
                       "fps": round(1e3 / ms, 1)}), flush=True)
